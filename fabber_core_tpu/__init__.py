@@ -1,0 +1,22 @@
+"""fabber_core_tpu — a TPU-native Bayesian model-fitting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+physimals/fabber_core: analytic Variational Bayes over nonlinear forward
+models for 4-D timeseries volumes, batched over all voxels at once and
+sharded over TPU meshes, instead of the reference's serial per-voxel C++
+loop (reference: inference_vb.cc:423).
+
+Key entry points:
+  - fabber_core_tpu.api.FabberTpu().run_with_data(options, data)
+  - fabber_core_tpu.cli.main()  (the `fabber` CLI equivalent)
+"""
+
+# Double precision must be enabled before any JAX computation is traced.
+# The reference pipeline is entirely double-precision (NEWMAT); we keep
+# float64 as the parity default and use explicit float32/bfloat16 dtypes
+# on the TPU fast path.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .version import __version__  # noqa: E402,F401

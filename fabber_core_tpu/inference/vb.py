@@ -1,0 +1,355 @@
+"""Batched Variational Bayes engine (voxelwise mode).
+
+The reference's hot loop (inference_vb.cc:415-576) iterates voxels
+serially, each with its own convergence detector and save/revert
+bookkeeping. Here one jitted fixed-point iteration advances *all*
+voxels at once:
+
+    state: pytree of [V,...] arrays (posterior MVN, diagonal prior,
+           Gamma noise, linearization, detector lanes, best-so-far)
+    step:  priors -> UpdateTheta -> UpdateNoise -> ReCentre -> F ->
+           detector test; converged lanes are frozen with jnp.where.
+
+This reproduces the serial semantics exactly (each lane sees the same
+sequence of updates it would have seen in the C++ loop) while mapping
+the arithmetic onto batched T x P / P x P contractions that XLA tiles
+onto the TPU MXU. A deliberate deviation: the reference computes the
+free energy four times per iteration (inference_vb.cc:468-495) but only
+the post-ReCentre value feeds the convergence test or outputs, so we
+compute it once.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dists import sym_inv
+from ..models.base import resolve_parameters, PRIOR_IMAGE
+from ..noise import get_noise_class
+from ..options import OptionSpec, OPT_STR, OPT_INT, OPT_BOOL, OPT_MVN
+from .convergence import ConvState, get_detector_class
+from .linearize import Linearizer
+from .priors import PriorSetup
+
+
+class PosteriorState(NamedTuple):
+    means: Any       # [V,P] latent
+    prec: Any        # [V,P,P]
+    cov: Any         # [V,P,P]
+    prior_means: Any  # [V,P]
+    prior_prec: Any  # [V,P] diagonal prior precision
+    noise: Any       # noise-model state pytree (e.g. WhiteNoiseState)
+
+
+class VBLoopState(NamedTuple):
+    it: Any          # scalar int32
+    post: PosteriorState
+    centre: Any      # [V,P] linearization centre
+    offset: Any      # [V,T] model signal at centre
+    jac: Any         # [V,T,P]
+    f: Any           # [V]
+    fprior: Any      # [V]
+    conv: ConvState
+    best: PosteriorState
+    fhist: Any       # [cap,V] or () if history disabled
+
+
+class VBResult(NamedTuple):
+    means: np.ndarray        # [V,P] latent posterior means
+    cov: np.ndarray          # [V,P,P]
+    noise_means: np.ndarray  # [V,Q]
+    noise_cov: np.ndarray    # [V,Q,Q]
+    free_energy: np.ndarray  # [V] or None
+    fhistory: np.ndarray     # [iters,V] or None
+    iterations: np.ndarray   # [V]
+    bad_voxels: np.ndarray   # [V] bool
+
+
+def _lane_where(mask, new, old):
+    """Per-lane select over a pytree of [V,...] arrays."""
+    def sel(n, o):
+        m = mask.reshape(mask.shape + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+class VBInference:
+    """Voxelwise VB (method=vb). Spatial VB subclasses/wraps this."""
+
+    @classmethod
+    def get_options(cls):
+        return [
+            OptionSpec("noise", OPT_STR, "Noise model to use (white or ar1)", True),
+            OptionSpec("convergence", OPT_STR,
+                       "Name of method for detecting convergence", default="maxits"),
+            OptionSpec("max-iterations", OPT_INT,
+                       "Iterations for the maxits convergence detector", default="10"),
+            OptionSpec("min-fchange", OPT_STR,
+                       "Change in F to stop at (fchange detector)", default="0.01"),
+            OptionSpec("max-trials", OPT_STR,
+                       "Max trials after F reduction (trialmode)", default="10"),
+            OptionSpec("print-free-energy", OPT_BOOL, "Output the free energy"),
+            OptionSpec("continue-from-mvn", OPT_MVN,
+                       "Continue previous run from output MVN files"),
+            OptionSpec("output-only", OPT_BOOL,
+                       "Skip model fitting, just output requested data from supplied MVN"),
+            OptionSpec("noise-pattern", OPT_STR,
+                       "Repeating noise-variance pattern", default="1"),
+            OptionSpec("allow-bad-voxels", OPT_BOOL,
+                       "Continue if numerical error found in a voxel"),
+            OptionSpec("linearization", OPT_STR,
+                       "Jacobian source: auto (jax autodiff) or fd "
+                       "(reference-parity finite differences)", default="auto"),
+            OptionSpec("save-free-energy-history", OPT_BOOL,
+                       "Record free energy at every iteration"),
+        ]
+
+    def __init__(self, model, options, data, coords, suppdata=None,
+                 voxel_data_getter=None, dtype=None):
+        """data [V,T] float, coords [V,3], suppdata [V,S] or None."""
+        self.model = model
+        self.options = options
+        self.dtype = dtype or (jnp.float64 if options.get_string(
+            "dtype", "double") == "double" else jnp.float32)
+
+        self.data = jnp.asarray(data, self.dtype)
+        self.coords = jnp.asarray(coords, self.dtype)
+        self.suppdata = None if suppdata is None or suppdata.shape[1] == 0 \
+            else jnp.asarray(suppdata, self.dtype)
+        self.nvoxels, self.nt = self.data.shape
+
+        self.masked_tpoints = options.get_int_list("mt", 1)
+        self.params = resolve_parameters(model, options)
+        self.nparams = len(self.params)
+
+        noise_cls = get_noise_class(options.get_string("noise"))
+        self.noise = noise_cls(options, self.nt, self.masked_tpoints)
+
+        conv_name = options.get_string("convergence", "maxits")
+        self.detector = get_detector_class(conv_name)(options)
+        self.is_lm = conv_name == "lm"
+
+        self.need_f = (self.detector.uses_f
+                       or options.get_bool("print-free-energy")
+                       or options.get_bool("save-free-energy")
+                       or options.get_bool("save-free-energy-history"))
+        self.save_fhist = options.get_bool("save-free-energy-history")
+        self.allow_bad_voxels = options.get_bool("allow-bad-voxels")
+
+        self._voxel_data = voxel_data_getter or (lambda key: (_ for _ in ()).throw(
+            KeyError(key)))
+        self.prior_setup = PriorSetup(self.params, self._voxel_data,
+                                      self.nvoxels, self.dtype)
+
+        lin_mode = options.get_string("linearization", "auto")
+        self.linearizer = Linearizer(model, self.params, self.data,
+                                     self.coords, self.suppdata, mode=lin_mode)
+
+        # Iteration cap for the while loop (detector guarantees
+        # termination well below this; cap is a safety net)
+        self.max_iter_cap = int(self.detector.max_iterations) + 2
+
+    # -- initial state ----------------------------------------------------
+    def initial_posterior(self):
+        """Build latent-space initial posterior (fwdmodel.cc:284-313)."""
+        v, p = self.nvoxels, self.nparams
+        means = np.zeros((v, p))
+        variances = np.zeros((v, p))
+        for i, spec in enumerate(self.params):
+            if spec.prior_type == PRIOR_IMAGE:
+                img = np.asarray(self._voxel_data(spec.options["image"]))
+                means[:, i] = img.reshape(v, -1)[:, 0]
+            else:
+                means[:, i] = spec.post.mean
+            variances[:, i] = spec.post.var
+
+        # voxelwise model init hook (model space)
+        means = np.asarray(self.model.init_posterior(
+            np.asarray(self.data), jnp.asarray(means)))
+
+        # transform to latent space
+        lmeans = np.zeros_like(means)
+        lvars = np.zeros_like(variances)
+        for i, spec in enumerate(self.params):
+            m, var = spec.transform.to_latent_moments(
+                jnp.asarray(means[:, i]), jnp.asarray(variances[:, i]))
+            lmeans[:, i] = np.asarray(m)
+            lvars[:, i] = np.asarray(var)
+
+        cov = np.zeros((v, p, p))
+        idx = np.arange(p)
+        cov[:, idx, idx] = lvars
+        prec = np.zeros_like(cov)
+        prec[:, idx, idx] = 1.0 / lvars
+        return (jnp.asarray(lmeans, self.dtype), jnp.asarray(prec, self.dtype),
+                jnp.asarray(cov, self.dtype))
+
+    def initial_state(self, continue_means=None, continue_cov=None,
+                      continue_noise=None):
+        v, p = self.nvoxels, self.nparams
+        noise_prior, noise_post = self.noise.initial_state(v, self.dtype)
+        self.noise_prior = noise_prior
+
+        if continue_means is not None:
+            means = jnp.asarray(continue_means, self.dtype)
+            cov = jnp.asarray(continue_cov, self.dtype)
+            prec = sym_inv(cov)
+            if continue_noise is not None:
+                noise_post = continue_noise
+        else:
+            means, prec, cov = self.initial_posterior()
+
+        # Initial prior: identity precision, zero mean; real values are
+        # written by the prior sweep inside iteration 0.
+        prior_means = jnp.zeros((v, p), self.dtype)
+        prior_prec = jnp.ones((v, p), self.dtype)
+
+        offset, jac = self.linearizer(means)
+
+        post = PosteriorState(means, prec, cov, prior_means, prior_prec,
+                              noise_post)
+        conv = self.detector.init_state(v, self.dtype)
+        fhist = jnp.zeros((self.max_iter_cap, v), self.dtype) \
+            if self.save_fhist else ()
+        return VBLoopState(
+            it=jnp.array(0, jnp.int32),
+            post=post, centre=means, offset=offset, jac=jac,
+            f=jnp.full(v, 1234.5678, self.dtype),
+            fprior=jnp.zeros(v, self.dtype),
+            conv=conv, best=post, fhist=fhist)
+
+    # -- one iteration ----------------------------------------------------
+    def _iteration(self, s):
+        post = s.post
+
+        # 1. Save current state as best-so-far where flagged by the
+        #    detector (top of the reference do-loop, inference_vb.cc:451)
+        best = _lane_where(s.conv.save, post, s.best)
+
+        # 2. Apply priors
+        prior_means, prior_prec, f_contribs = self.prior_setup.apply(
+            post.prior_means, post.prior_prec, post.means,
+            jnp.diagonal(post.cov, axis1=-2, axis2=-1), s.it)
+        # Voxelwise mode quirk: the reference *assigns* (not sums) each
+        # prior's F contribution in turn, so only the last parameter's
+        # survives (inference_vb.cc:460-463). Mirrored for parity.
+        fprior = f_contribs[:, -1]
+
+        # 3. Theta update (Eq 19/20)
+        lm_alpha = s.conv.alpha if self.is_lm else None
+        means, prec, cov, _ok = self.noise.update_theta(
+            post.noise, post.means, prior_means, prior_prec,
+            s.centre, s.offset, s.jac, self.data, lm_alpha)
+
+        # 4. Noise update (Eq 21/22)
+        noise_post = self.noise.update_noise(
+            post.noise, self.noise_prior, means, cov,
+            s.centre, s.offset, s.jac, self.data)
+
+        # 5. Re-linearize about the new posterior means
+        offset, jac = self.linearizer(means)
+        centre = means
+
+        new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
+                                  noise_post)
+
+        # 6. Free energy (only the final per-iteration value is
+        #    observable; see module docstring)
+        if self.need_f:
+            f = self.noise.free_energy(
+                noise_post, self.noise_prior, means, prec, cov,
+                prior_means, prior_prec, centre, offset, jac, self.data)
+            f = f + fprior
+        else:
+            f = s.f
+
+        # 7. Convergence test
+        conv = self.detector.test(s.conv, f)
+
+        new = VBLoopState(it=s.it + 1, post=new_post, centre=centre,
+                          offset=offset, jac=jac, f=f, fprior=fprior,
+                          conv=conv, best=best, fhist=s.fhist)
+
+        # Freeze lanes that were already done before this iteration.
+        # fhist is [iter, V]-shaped and handled separately below.
+        frozen = s.conv.done
+        merged = _lane_where(~frozen, new._replace(fhist=()),
+                             s._replace(fhist=()))
+        fhist = s.fhist
+        if self.save_fhist:
+            # Frozen lanes keep writing their last F, reproducing the
+            # reference's history padding (inference_vb.cc:1035-1044)
+            fhist = fhist.at[s.it].set(merged.f)
+        return merged._replace(it=new.it, fhist=fhist)
+
+    # -- driver -----------------------------------------------------------
+    def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        s0 = self.initial_state(continue_means, continue_cov, continue_noise)
+
+        def cond(s):
+            return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)
+
+        @jax.jit
+        def loop(s):
+            s = jax.lax.while_loop(cond, self._iteration, s)
+            return self._finalize(s)
+
+        final, result = loop(s0)
+        return self._to_result(final, result)
+
+    def _finalize(self, s):
+        """Post-loop save/revert (inference_vb.cc:505-525)."""
+        best = _lane_where(s.conv.save, s.post, s.best)
+        post = _lane_where(s.conv.revert, best, s.post)
+
+        offset, jac = self.linearizer(post.means)
+        if self.need_f:
+            f_rev = self.noise.free_energy(
+                post.noise, self.noise_prior, post.means, post.prec, post.cov,
+                post.prior_means, post.prior_prec, post.means, offset, jac,
+                self.data) + s.fprior
+            f = jnp.where(s.conv.revert, f_rev, s.f)
+        else:
+            f = s.f
+        return s._replace(post=post, centre=post.means, offset=offset,
+                          jac=jac, f=f), None
+
+    def _to_result(self, s, _):
+        post = s.post
+        noise_means, noise_cov = self.noise.state_to_mvn(post.noise)
+
+        means = np.asarray(post.means)
+        cov = np.asarray(post.cov)
+        nmeans = np.asarray(noise_means)
+        ncov = np.asarray(noise_cov)
+        f = np.asarray(s.f) if self.need_f else None
+
+        bad = ~(np.isfinite(means).all(axis=1)
+                & np.isfinite(cov).reshape(cov.shape[0], -1).all(axis=1)
+                & np.isfinite(nmeans).all(axis=1))
+
+        if bad.any():
+            # Degrade failed voxels to zero-mean/identity-covariance,
+            # as the reference does (inference_vb.cc:556-570)
+            p, q = means.shape[1], nmeans.shape[1]
+            means[bad] = 0.0
+            cov[bad] = np.eye(p)
+            nmeans[bad] = 0.0
+            ncov[bad] = np.eye(q)
+
+        fhist = None
+        if self.save_fhist:
+            nit = int(np.asarray(s.it))
+            fhist = np.asarray(s.fhist)[:nit]
+            # final (possibly reverted) F is appended, as in the
+            # reference (inference_vb.cc:553-554)
+            if f is not None:
+                fhist = np.concatenate([fhist, np.asarray(s.f)[None]], axis=0)
+
+        return VBResult(
+            means=means, cov=cov, noise_means=nmeans, noise_cov=ncov,
+            free_energy=f, fhistory=fhist,
+            iterations=np.asarray(s.conv.its),
+            bad_voxels=bad)

@@ -197,7 +197,8 @@ class VBInference:
             cov = jnp.asarray(continue_cov, self.dtype)
             prec = sym_inv(cov)
             if continue_noise is not None:
-                noise_post = continue_noise
+                noise_post = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, self.dtype), continue_noise)
         else:
             means, prec, cov = self.initial_posterior()
 

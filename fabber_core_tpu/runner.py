@@ -1,0 +1,268 @@
+"""Run orchestration: options + voxel data -> inference -> outputs.
+
+Equivalent of FabberRunData::Run + InferenceTechnique::SaveResults
+(rundata.cc:248-311, inference.cc:112-281): creates the model, resolves
+parameters, dispatches the inference method, and assembles the output
+data products (means/std/var/zstat with model-space back-transform,
+model fit, residuals, noise stats, free energy, finalMVN checkpoint).
+
+Outputs are returned as a dict of voxel-major arrays; the CLI / API
+layers map them back to volumes or files.
+"""
+
+import time
+
+import numpy as np
+
+from .easylog import EasyLog
+from .exceptions import DataNotFound, FabberError, BadVoxelError
+from .inference.nlls import NLLSInference
+from .inference.vb import VBInference
+from .io import mvn as mvn_io
+from .models import (get_model_class, load_models_from_file,
+                     resolve_parameters)
+from .models.base import SPATIAL_PRIOR_TYPES
+from .version import __version__
+
+
+def is_spatial(options, params):
+    """Spatial mode: method name or any spatial prior type
+    (inference_vb.cc:334-358)."""
+    if options.get_string("method") == "spatialvb":
+        return True
+    return any(p.prior_type in SPATIAL_PRIOR_TYPES for p in params)
+
+
+class RunResult:
+    def __init__(self, outputs, log, param_names, nvoxels):
+        self.outputs = outputs  # key -> [V] or [V,T] arrays
+        self.log = log
+        self.param_names = param_names
+        self.nvoxels = nvoxels
+
+
+def run(options, store, log=None, progress_cb=None):
+    """Execute a full run.
+
+    options: RunOptions; store: VoxelDataStore with 'data' (or data<n>)
+    plus any mask-derived geometry already applied.
+    """
+    log = log or EasyLog()
+    start = time.time()
+    log.log(f"fabber_core_tpu release: {__version__}")
+    log.log("Start time: " + time.ctime(start))
+    for k, v in sorted(options.items()):
+        log.log(f"Option {k}={v}")
+
+    if options.have("loadmodels"):
+        load_models_from_file(options.get_string("loadmodels"))
+
+    model_name = options.get_string("model")
+    model = get_model_class(model_name)(options)
+    params = resolve_parameters(model, options)
+    param_names = [p.name for p in params]
+    log.log(f"Model has {len(params)} parameters: {', '.join(param_names)}")
+
+    data = store.get_main_data(options)
+    suppdata = store.get("suppdata") if store.have("suppdata") else None
+    coords = store.geom.coords
+    nvoxels, nt = data.shape
+    log.log(f"Data size = {nt} timepoints by {nvoxels} voxels")
+
+    method = options.get_string("method")
+    if progress_cb:
+        progress_cb(0, nvoxels)
+
+    # Restart state from a previous run's MVN checkpoint
+    cont_means = cont_cov = None
+    if store.have("continue-from-mvn") or options.have("continue-from-mvn"):
+        options.mark_used("continue-from-mvn")
+        cont_means, cont_cov = _load_continue_mvn(
+            options, store, params, log)
+
+    result, engine = _dispatch(method, model, options, data, coords,
+                               suppdata, store, params,
+                               cont_means, cont_cov, log)
+    if progress_cb:
+        progress_cb(nvoxels, nvoxels)
+
+    if result.bad_voxels.any():
+        n = int(result.bad_voxels.sum())
+        if not options.get_bool("allow-bad-voxels"):
+            raise BadVoxelError(np.flatnonzero(result.bad_voxels),
+                                f"({n} voxels failed)")
+        log.warn(f"{n} voxels failed numerically; output zero-mean "
+                 "identity-covariance (allow-bad-voxels set)")
+
+    outputs = _save_results(options, model, params, result, engine,
+                            data, log)
+
+    unused = options.unused()
+    if unused:
+        log.warn("The following options were unused - check spelling: "
+                 + ", ".join(unused))
+    log.reissue_warnings()
+    end = time.time()
+    log.log("End time: " + time.ctime(end))
+    log.log(f"Duration: {end - start:.3f} seconds.")
+    return RunResult(outputs, log.contents(), param_names, nvoxels)
+
+
+def _dispatch(method, model, options, data, coords, suppdata, store,
+              params, cont_means, cont_cov, log):
+    getter = store.get
+    if method in ("vb", "spatialvb"):
+        if is_spatial(options, params):
+            from .inference.spatial import SpatialVBInference
+            engine = SpatialVBInference(model, options, data, coords,
+                                        suppdata, voxel_data_getter=getter)
+        else:
+            engine = VBInference(model, options, data, coords, suppdata,
+                                 voxel_data_getter=getter)
+        if options.get_bool("output-only"):
+            if cont_means is None:
+                raise FabberError(
+                    "output-only can only be used with continue-from-mvn")
+            log.log("output-only set - not performing any calculations")
+            result = _result_from_mvn(engine, cont_means, cont_cov)
+        else:
+            cn = None
+            if cont_means is not None:
+                p = len(params)
+                cn = engine.noise.state_from_mvn(
+                    cont_means[:, p:], cont_cov[:, p:, p:])
+                cont_means, cont_cov = cont_means[:, :p], cont_cov[:, :p, :p]
+            result = engine.run(cont_means, cont_cov, cn)
+    elif method == "nlls":
+        engine = NLLSInference(model, options, data, coords, suppdata,
+                               voxel_data_getter=getter)
+        result = engine.run()
+    else:
+        raise FabberError(f"Unrecognized inference method: {method}")
+    return result, engine
+
+
+def _result_from_mvn(engine, means, cov):
+    """Build a VBResult directly from a loaded MVN (output-only mode)."""
+    from .inference.vb import VBResult
+    p = engine.nparams
+    nm, ncov = means[:, p:], cov[:, p:, p:]
+    return VBResult(
+        means=means[:, :p], cov=cov[:, :p, :p],
+        noise_means=nm, noise_cov=ncov,
+        free_energy=None, fhistory=None,
+        iterations=np.zeros(means.shape[0], int),
+        bad_voxels=np.zeros(means.shape[0], bool))
+
+
+def _load_continue_mvn(options, store, params, log):
+    """Load + name-merge a previous run's MVN (inference.cc:283-433)."""
+    voxel_data = store.get("continue-from-mvn")
+    means, cov = mvn_io.unpack(np.asarray(voxel_data).T)
+
+    param_file = options.get_string("continue-from-params", "")
+    if not param_file:
+        return means, cov
+
+    with open(param_file) as f:
+        file_names = [line.rstrip("\n") for line in f if line.strip()]
+    log.log(f"Continuing from MVN with parameters: {file_names}")
+
+    model_names = [p.name for p in params]
+    n_file = len(file_names)
+    n_model = len(model_names)
+    nv = means.shape[0]
+    n_noise = means.shape[1] - n_file
+
+    new_means = np.zeros((nv, n_model + n_noise))
+    new_cov = np.zeros((nv, n_model + n_noise, n_model + n_noise))
+    # model defaults for unmatched parameters
+    for i, p in enumerate(params):
+        new_means[:, i] = p.post.mean
+        new_cov[:, i, i] = p.post.var
+
+    loc = {}
+    for i, name in enumerate(model_names):
+        if name in file_names:
+            loc[i] = file_names.index(name)
+        else:
+            log.log(f"{name}: not in file, set from model default")
+    for name in file_names:
+        if name not in model_names:
+            log.warn(f"{name}: in file but not matched to model")
+
+    for i, q in loc.items():
+        new_means[:, i] = means[:, q]
+        for j, r in loc.items():
+            new_cov[:, i, j] = cov[:, q, r]
+    # noise block passes through
+    new_means[:, n_model:] = means[:, n_file:]
+    new_cov[:, n_model:, n_model:] = cov[:, n_file:, n_file:]
+    return new_means, new_cov
+
+
+def _save_results(options, model, params, result, engine, data, log):
+    """Assemble output products (inference.cc:112-281 +
+    inference_vb.cc:966-1051)."""
+    outputs = {}
+    nparams = len(params)
+
+    if options.get_bool("save-mvn"):
+        all_means = np.concatenate([result.means, result.noise_means], axis=1)
+        nall = all_means.shape[1]
+        all_cov = np.zeros((all_means.shape[0], nall, nall))
+        all_cov[:, :nparams, :nparams] = result.cov
+        all_cov[:, nparams:, nparams:] = result.noise_cov
+        outputs["finalMVN"] = mvn_io.pack(all_means, all_cov).T  # [V, rows]
+
+    want_param_stats = (options.get_bool("save-mean")
+                        | options.get_bool("save-std")
+                        | options.get_bool("save-zstat")
+                        | options.get_bool("save-var"))
+    if want_param_stats:
+        for i, p in enumerate(params):
+            m, var = p.transform.to_model_moments(
+                result.means[:, i], result.cov[:, i, i])
+            m, var = np.asarray(m), np.asarray(var)
+            std = np.sqrt(var)
+            if options.get_bool("save-mean"):
+                outputs[f"mean_{p.name}"] = m
+            if options.get_bool("save-zstat"):
+                outputs[f"zstat_{p.name}"] = m / std
+            if options.get_bool("save-std"):
+                outputs[f"std_{p.name}"] = std
+            if options.get_bool("save-var"):
+                outputs[f"var_{p.name}"] = var
+
+    if result.noise_means.shape[1] > 0:
+        if options.get_bool("save-noise-mean"):
+            outputs["noise_means"] = result.noise_means
+        if options.get_bool("save-noise-std"):
+            outputs["noise_stdevs"] = np.sqrt(
+                np.diagonal(result.noise_cov, axis1=-2, axis2=-1))
+
+    if options.get_bool("save-free-energy") and result.free_energy is not None:
+        outputs["freeEnergy"] = result.free_energy
+    if options.get_bool("save-free-energy-history") \
+            and result.fhistory is not None:
+        outputs["freeEnergyHistory"] = result.fhistory.T  # [V, iters]
+
+    save_fit = options.get_bool("save-model-fit")
+    save_resid = options.get_bool("save-residuals")
+    extras = [k for k in model.outputs() if k]
+    if save_fit or save_resid or (extras and options.get_bool("save-model-extras")):
+        fit = np.asarray(engine.linearizer.evaluate(
+            np.asarray(result.means)))
+        if save_fit:
+            outputs["modelfit"] = fit
+        if save_resid:
+            outputs["residuals"] = data - fit
+        if options.get_bool("save-model-extras"):
+            from .inference.linearize import Linearizer
+            for key in extras:
+                lin = Linearizer(model, params, engine.data, engine.coords,
+                                 engine.suppdata, mode="auto", key=key)
+                outputs[key] = np.asarray(lin.evaluate(np.asarray(result.means)))
+
+    log.log(f"Saved outputs: {', '.join(sorted(outputs))}")
+    return outputs

@@ -1,0 +1,174 @@
+"""API-level tests: run_with_data round trips, golden output-only
+parity against the reference's shipped outdata_poly, restarts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fabber_core_tpu.api import FabberTpu
+from fabber_core_tpu.io import nifti
+
+REF = "/root/reference/test"
+
+
+def make_phantom(shape=(4, 4, 2), nt=20, noise=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    nv = int(np.prod(shape))
+    t = np.arange(1, nt + 1)
+    c0 = rng.uniform(-1, 1, nv)
+    c1 = rng.uniform(-0.5, 0.5, nv)
+    clean = c0[:, None] + c1[:, None] * t[None, :]
+    data = clean + rng.normal(0, noise, (nv, nt))
+    vol = data.reshape(shape + (nt,), order="F")
+    return vol, c0.reshape(shape, order="F"), c1.reshape(shape, order="F")
+
+
+class TestRunWithData:
+    def test_poly_run_outputs(self):
+        vol, c0, c1 = make_phantom()
+        fab = FabberTpu()
+        run = fab.run_with_data({
+            "model": "poly", "degree": "1", "method": "vb", "noise": "white",
+            "save-mean": True, "save-std": True, "save-zstat": True,
+            "save-noise-mean": True, "save-noise-std": True,
+            "save-model-fit": True, "save-residuals": True,
+            "save-free-energy": True, "save-mvn": True,
+            "max-iterations": "10",
+        }, {"data": vol})
+
+        assert set(run.data) >= {
+            "mean_c0", "mean_c1", "std_c0", "zstat_c1", "noise_means",
+            "noise_stdevs", "modelfit", "residuals", "freeEnergy", "finalMVN"}
+        assert run.data["mean_c0"].shape == vol.shape[:3]
+        assert run.data["modelfit"].shape == vol.shape
+        np.testing.assert_allclose(run.data["mean_c0"], c0, atol=0.5)
+        np.testing.assert_allclose(run.data["mean_c1"], c1, atol=0.05)
+        # residuals = data - fit
+        np.testing.assert_allclose(run.data["modelfit"] + run.data["residuals"],
+                                   vol, atol=1e-4)
+        # finalMVN has P(P+1)/2+P+1 rows for P=3 (2 model + 1 noise)
+        assert run.data["finalMVN"].shape[3] == 3 * 4 // 2 + 3 + 1
+        assert "Duration" in run.log
+
+    def test_mask_restricts_processing(self):
+        vol, _, _ = make_phantom()
+        mask = np.zeros(vol.shape[:3])
+        mask[0, 0, 0] = 1
+        mask[1, 2, 1] = 1
+        fab = FabberTpu()
+        run = fab.run_with_data({
+            "model": "poly", "degree": "1", "method": "vb", "noise": "white",
+            "save-mean": True}, {"data": vol}, mask=mask)
+        out = run.data["mean_c1"]
+        assert out[0, 1, 0] == 0.0  # unmasked voxel untouched
+        assert out[0, 0, 0] != 0.0
+
+    def test_nlls_method(self):
+        vol, c0, c1 = make_phantom(noise=0.05)
+        fab = FabberTpu()
+        run = fab.run_with_data({
+            "model": "poly", "degree": "1", "method": "nlls",
+            "save-mean": True}, {"data": vol})
+        np.testing.assert_allclose(run.data["mean_c1"], c1, atol=0.05)
+
+    def test_restart_from_mvn(self):
+        vol, _, c1 = make_phantom()
+        opts = {"model": "poly", "degree": "1", "method": "vb",
+                "noise": "white", "save-mvn": True, "save-mean": True,
+                "max-iterations": "5"}
+        fab = FabberTpu()
+        run1 = fab.run_with_data(opts, {"data": vol})
+        # restart, continuing from the checkpoint
+        opts2 = dict(opts, **{"continue-from-mvn": True,
+                              "max-iterations": "5"})
+        del opts2["continue-from-mvn"]
+        run2 = fab.run_with_data(
+            dict(opts, **{"max-iterations": "3"}),
+            {"data": vol, "continue-from-mvn": run1.data["finalMVN"]})
+        # restarting from a converged state shouldn't move much
+        np.testing.assert_allclose(run2.data["mean_c1"], run1.data["mean_c1"],
+                                   atol=1e-3)
+
+    def test_output_only_requires_mvn(self):
+        vol, _, _ = make_phantom()
+        fab = FabberTpu()
+        from fabber_core_tpu.exceptions import FabberError
+        with pytest.raises(FabberError):
+            fab.run_with_data({
+                "model": "poly", "degree": "1", "method": "vb",
+                "noise": "white", "output-only": True, "save-mean": True},
+                {"data": vol})
+
+    def test_model_evaluate(self):
+        fab = FabberTpu()
+        out = fab.model_evaluate(
+            {"model": "poly", "degree": "2"},
+            {"c0": 1.0, "c1": 2.0, "c2": 0.5}, nt=5)
+        t = np.arange(1, 6)
+        np.testing.assert_allclose(out, 1.0 + 2.0 * t + 0.5 * t ** 2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+class TestGoldenOutputOnly:
+    """Regenerate parameter images from the C++ golden checkpoint and
+    compare against the C++-written images: validates MVN parsing, mask
+    packing, transforms and the stats pipeline voxel-for-voxel."""
+
+    def test_outdata_poly_parity(self):
+        mvn_img = nifti.load(f"{REF}/outdata_poly/finalMVN.nii.gz")
+        mask = nifti.load(f"{REF}/test_mask_small.nii.gz").data
+        nt = 106
+        dummy_data = np.zeros(mask.shape + (nt,), np.float32)
+
+        fab = FabberTpu()
+        run = fab.run_with_data({
+            "model": "poly", "degree": "2", "method": "vb", "noise": "white",
+            "output-only": True, "save-mean": True, "save-std": True,
+            "save-zstat": True, "save-noise-mean": True,
+            "save-noise-std": True,
+        }, {"data": dummy_data, "continue-from-mvn": mvn_img.data},
+            mask=mask)
+
+        m = mask > 1e-16
+        for pname in ["c0", "c1", "c2"]:
+            gold_mean = nifti.load(f"{REF}/outdata_poly/mean_{pname}.nii.gz").data
+            np.testing.assert_allclose(run.data[f"mean_{pname}"][m],
+                                       gold_mean[m], rtol=2e-5, atol=2e-5)
+            gold_std = nifti.load(f"{REF}/outdata_poly/std_{pname}.nii.gz").data
+            np.testing.assert_allclose(run.data[f"std_{pname}"][m],
+                                       gold_std[m], rtol=2e-5)
+            gold_z = nifti.load(f"{REF}/outdata_poly/zstat_{pname}.nii.gz").data
+            np.testing.assert_allclose(run.data[f"zstat_{pname}"][m],
+                                       gold_z[m], rtol=1e-4)
+        gold_nm = nifti.load(f"{REF}/outdata_poly/noise_means.nii.gz").data
+        np.testing.assert_allclose(run.data["noise_means"][m], gold_nm[m],
+                                   rtol=2e-5)
+        gold_ns = nifti.load(f"{REF}/outdata_poly/noise_stdevs.nii.gz").data
+        np.testing.assert_allclose(run.data["noise_stdevs"][m], gold_ns[m],
+                                   rtol=2e-5)
+
+    def test_outdata_linear_vb_parity(self):
+        """Same regeneration check for the linear-model golden run."""
+        mvn_img = nifti.load(f"{REF}/outdata_linear_vb/finalMVN.nii.gz")
+        mask = nifti.load(f"{REF}/test_mask_small.nii.gz").data
+        dummy_data = np.zeros(mask.shape + (106,), np.float32)
+
+        fab = FabberTpu()
+        run = fab.run_with_data({
+            "model": "linear", "basis": f"{REF}/test_linear_design.mat",
+            "method": "vb", "noise": "white",
+            "output-only": True, "save-mean": True, "save-zstat": True,
+        }, {"data": dummy_data, "continue-from-mvn": mvn_img.data},
+            mask=mask)
+
+        m = mask > 1e-16
+        for i in range(1, 5):
+            gold = nifti.load(
+                f"{REF}/outdata_linear_vb/mean_Parameter_{i}.nii.gz").data
+            np.testing.assert_allclose(run.data[f"mean_Parameter_{i}"][m],
+                                       gold[m], rtol=2e-5, atol=2e-4)
+            gold_z = nifti.load(
+                f"{REF}/outdata_linear_vb/zstat_Parameter_{i}.nii.gz").data
+            np.testing.assert_allclose(run.data[f"zstat_Parameter_{i}"][m],
+                                       gold_z[m], rtol=1e-4, atol=1e-3)

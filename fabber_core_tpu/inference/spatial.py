@@ -1,0 +1,285 @@
+"""Spatial VB: MRF / Penny priors coupling voxels over the 6-neighbour
+graph.
+
+Reference semantics (inference_vb.cc:578-767, priors.cc:183-488): an
+iteration-major sweep where each parameter with prior type M/m/P/p gets
+a per-voxel prior built from neighbouring posterior means, and a single
+global spatial-precision scalar aK per parameter updated once per sweep
+from a whole-volume reduction (Penny 2005 Fig 4).
+
+TPU-first design notes:
+  * The reference updates posteriors in place while sweeping voxels
+    lexicographically (Gauss-Seidel-ish). Here the sweep is a *Jacobi*
+    iteration: every voxel's spatial prior reads the previous sweep's
+    posterior means. This is the parallel-correct formulation — it
+    converges to the same fixed point, is deterministic under any
+    sharding, and makes the neighbour reads a pure gather.
+  * The aK update is a global sum reduction — under a sharded mesh this
+    is exactly one psum per spatial parameter per sweep; the neighbour
+    gathers become halo exchanges at shard boundaries, both inserted
+    automatically by GSPMD from the voxel-axis sharding.
+  * Numerically-failed voxels are excised from the graph by zeroing
+    their weight (the IgnoreVoxel semantics, inference_vb.cc:266-297)
+    rather than by list surgery.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.neighbours import calc_neighbours
+from ..exceptions import InvalidOptionValue
+from ..models.base import (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
+                           PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)
+from ..options import OptionSpec, OPT_INT, OPT_STR, OPT_BOOL, OPT_FLOAT
+from .vb import VBInference, VBLoopState, PosteriorState, _lane_where
+
+AK_INIT = 1e-8
+AK_FLOOR = 1e-50
+MRF_JITTER = 1e-8  # invertibility term for type M (priors.cc:259,408)
+
+
+class SpatialState(NamedTuple):
+    post: PosteriorState
+    centre: jnp.ndarray
+    offset: jnp.ndarray
+    jac: jnp.ndarray
+    f: jnp.ndarray
+    ak: jnp.ndarray   # [n_spatial_params]
+    bad: jnp.ndarray  # [V] bool — excised voxels
+
+
+class SpatialVBInference(VBInference):
+    """method=spatialvb (also reached via spatial prior type chars)."""
+
+    @classmethod
+    def get_options(cls):
+        return VBInference.get_options() + [
+            OptionSpec("spatial-dims", OPT_INT, "Number of spatial dimensions",
+                       default="3"),
+            OptionSpec("spatial-speed", OPT_STR,
+                       "Restrict speed of spatial smoothing", default="-1"),
+            OptionSpec("param-spatial-priors", OPT_STR,
+                       "Type of spatial priors per parameter: N=nonspatial, "
+                       "M=Markov random field, P=Penny, A=ARD", default="N+"),
+            OptionSpec("update-spatial-prior-on-first-iteration", OPT_BOOL, ""),
+            OptionSpec("spatial-q1", OPT_FLOAT,
+                       "Prior Gamma scale for aK", default="10.0"),
+            OptionSpec("spatial-q2", OPT_FLOAT,
+                       "Prior Gamma shape for aK", default="1.0"),
+        ]
+
+    def __init__(self, model, options, data, coords, suppdata=None,
+                 voxel_data_getter=None, dtype=None):
+        super().__init__(model, options, data, coords, suppdata,
+                         voxel_data_getter, dtype)
+        self.save_fhist = False  # per-iteration history is a voxelwise-mode feature
+        self.spatial_dims = options.get_int("spatial-dims", 3, 0, 3)
+        self.spatial_speed = options.get_float("spatial-speed", -1.0)
+        self.update_first_iter = options.get_bool(
+            "update-spatial-prior-on-first-iteration")
+        self.q1 = options.get_float("spatial-q1", 10.0)
+        self.q2 = options.get_float("spatial-q2", 1.0)
+        self.max_its = options.get_int("max-iterations", 10, minval=1)
+
+        self.spatial_params = [
+            (i, p.prior_type) for i, p in enumerate(self.params)
+            if p.prior_type in (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
+                                PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)]
+        if not self.spatial_params:
+            raise InvalidOptionValue(
+                "param-spatial-priors", "",
+                "spatialvb requires at least one spatial prior type (MmPp)")
+
+        neigh, neigh2 = calc_neighbours(np.asarray(coords),
+                                        self.spatial_dims)
+        self.neigh = jnp.asarray(neigh)
+        self.neigh2 = jnp.asarray(neigh2)
+
+    # -- spatial prior math ----------------------------------------------
+    def _gather_sum(self, values, idx, active):
+        """Sum `values` over a padded neighbour index array, counting
+        only valid + active entries. Returns (sums [V], counts [V])."""
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        vals = values[safe]          # [V, K]
+        act = active[safe]           # [V, K]
+        w = (valid & act).astype(values.dtype)
+        return jnp.sum(vals * w, axis=1), jnp.sum(w, axis=1)
+
+    def _calculate_ak(self, post, active):
+        """Penny 2005 Fig 4 update for each spatial parameter's global
+        precision (priors.cc:221-344). Pure reduction — psum under
+        sharding."""
+        dtype = self.dtype
+        sd = self.spatial_dims
+        actf = active.astype(dtype)
+        aks = []
+        for slot, (k, tcode) in enumerate(self.spatial_params):
+            sigma_k = post.cov[:, k, k]
+            w_k = post.means[:, k]
+            nsum, nn = self._gather_sum(w_k, self.neigh, active)
+
+            if tcode == PRIOR_SPATIAL_m:
+                trace_w = jnp.full_like(sigma_k, sd * 2)
+            elif tcode == PRIOR_SPATIAL_M:
+                trace_w = nn + MRF_JITTER
+            elif tcode == PRIOR_SPATIAL_p:
+                trace_w = jnp.full_like(sigma_k, 4 * sd * sd + 2 * sd)
+            else:  # P
+                trace_w = nn * nn + nn
+            trace_term = jnp.sum(sigma_k * trace_w * actf)
+
+            swk = nn * w_k - nsum
+            if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+                # no boundary correction: missing neighbours act as 0
+                swk = swk + w_k * (sd * 2 - nn)
+            if tcode in (PRIOR_SPATIAL_m, PRIOR_SPATIAL_M):
+                term2 = jnp.sum(swk * w_k * actf)
+            else:
+                term2 = jnp.sum(swk * swk * actf)
+
+            gk = 1.0 / (0.5 * trace_term + 0.5 * term2 + 1.0 / self.q1)
+            hk = self.nvoxels * 0.5 + self.q2
+            ak = jnp.maximum(gk * hk, AK_FLOOR)
+            if self.spatial_speed > 0:
+                ak_max = jnp.maximum(ak * self.spatial_speed, 0.5)
+                ak = jnp.minimum(ak, ak_max)
+            aks.append(ak)
+        return jnp.stack(aks)
+
+    def _apply_spatial_priors(self, post, prior_means, prior_prec, ak, active):
+        """Per-voxel spatial prior mean/precision from neighbour
+        posterior means (priors.cc:346-488)."""
+        dtype = self.dtype
+        sd = self.spatial_dims
+        for slot, (k, tcode) in enumerate(self.spatial_params):
+            w_k = post.means[:, k]
+            contrib_nn, nn = self._gather_sum(w_k, self.neigh, active)
+            nsum2, nn2 = self._gather_sum(w_k, self.neigh2, active)
+            contrib_nn2 = -nsum2
+
+            if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+                nn = jnp.full_like(nn, 2 * sd)
+                nn2 = jnp.full_like(nn2, 4 * sd * sd - 2 * sd)
+
+            base_mean = self.params[k].prior.mean
+            base_prec = self.params[k].prior.prec
+            akk = ak[slot]
+
+            if tcode == PRIOR_SPATIAL_M:
+                spatial_prec = akk * (nn + MRF_JITTER)
+            elif tcode == PRIOR_SPATIAL_m:
+                spatial_prec = akk * nn
+            else:  # P/p
+                spatial_prec = akk * (nn * nn + nn)
+
+            if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+                new_prec = spatial_prec
+            else:
+                new_prec = base_prec + spatial_prec
+
+            if tcode in (PRIOR_SPATIAL_m, PRIOR_SPATIAL_M):
+                spatial_mean = contrib_nn * (1.0 / jnp.maximum(nn, 1e-30))
+                new_mean = (1.0 / new_prec) * spatial_prec * spatial_mean
+            else:
+                denom = 8.0 * nn - nn2
+                spatial_mean = jnp.where(
+                    nn != 0,
+                    (8.0 * contrib_nn + contrib_nn2)
+                    / jnp.where(denom != 0, denom, 1.0),
+                    0.0)
+                new_mean = (1.0 / new_prec) * (
+                    spatial_prec * spatial_mean + base_prec * base_mean)
+
+            prior_means = prior_means.at[:, k].set(new_mean.astype(dtype))
+            prior_prec = prior_prec.at[:, k].set(new_prec.astype(dtype))
+        return prior_means, prior_prec
+
+    # -- sweep ------------------------------------------------------------
+    def _sweep(self, it, s):
+        active = ~s.bad
+        post = s.post
+
+        # aK: updated at sweep start from previous sweep's posteriors
+        # (skipped on sweep 0 unless update-first-iteration)
+        do_update = (it > 0) | self.update_first_iter
+        ak = jnp.where(do_update, self._calculate_ak(post, active), s.ak)
+
+        # priors: non-spatial family first, spatial overrides
+        prior_means, prior_prec, f_contribs = self.prior_setup.apply(
+            post.prior_means, post.prior_prec, post.means,
+            jnp.diagonal(post.cov, axis1=-2, axis2=-1), it)
+        prior_means, prior_prec = self._apply_spatial_priors(
+            post, prior_means, prior_prec, ak, active)
+        # spatial mode *sums* prior F contributions (inference_vb.cc:630)
+        fprior = jnp.sum(f_contribs, axis=1)
+
+        # theta update (phase A), then noise + relinearize (phase B)
+        means, prec, cov, _ok = self.noise.update_theta(
+            post.noise, post.means, prior_means, prior_prec,
+            s.centre, s.offset, s.jac, self.data, None)
+        noise_post = self.noise.update_noise(
+            post.noise, self.noise_prior, means, cov,
+            s.centre, s.offset, s.jac, self.data)
+        offset, jac = self.linearizer(means)
+
+        new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
+                                  noise_post)
+        if self.need_f:
+            f = self.noise.free_energy(
+                noise_post, self.noise_prior, means, prec, cov,
+                prior_means, prior_prec, means, offset, jac, self.data)
+            f = f + fprior
+        else:
+            f = s.f
+
+        # newly-failed voxels revert to their pre-sweep state and are
+        # excised from the neighbour graph for all future sweeps
+        finite = (jnp.all(jnp.isfinite(means), axis=1)
+                  & jnp.all(jnp.isfinite(cov.reshape(cov.shape[0], -1)), axis=1))
+        bad = s.bad | ~finite
+
+        new = SpatialState(post=new_post, centre=means, offset=offset,
+                           jac=jac, f=f, ak=ak, bad=bad)
+        frozen = s.bad
+        merged = _lane_where(~frozen, new._replace(ak=(), bad=()),
+                             s._replace(ak=(), bad=()))
+        # revert newly-bad lanes entirely
+        newly_bad = bad & ~s.bad
+        merged = _lane_where(~newly_bad, merged, s._replace(ak=(), bad=()))
+        return merged._replace(ak=ak, bad=bad)
+
+    # -- driver -----------------------------------------------------------
+    def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        base = self.initial_state(continue_means, continue_cov,
+                                  continue_noise)
+        s0 = SpatialState(
+            post=base.post, centre=base.centre, offset=base.offset,
+            jac=base.jac, f=base.f,
+            ak=jnp.full(len(self.spatial_params), AK_INIT, self.dtype),
+            bad=jnp.zeros(self.nvoxels, bool))
+
+        @jax.jit
+        def loop(s):
+            return jax.lax.fori_loop(0, self.max_its, self._sweep, s)
+
+        s = loop(s0)
+        self.final_ak = np.asarray(s.ak)
+
+        # wrap into the VBLoopState shape expected by _to_result
+        conv = self.detector.init_state(self.nvoxels, self.dtype)
+        final = VBLoopState(
+            it=jnp.array(self.max_its, jnp.int32), post=s.post,
+            centre=s.centre, offset=s.offset, jac=s.jac, f=s.f,
+            fprior=jnp.zeros(self.nvoxels, self.dtype),
+            conv=conv._replace(its=jnp.full(self.nvoxels, self.max_its,
+                                            jnp.int32)),
+            best=s.post, fhist=())
+        result = self._to_result(final, None)
+        # mark excised voxels bad in the result
+        result = result._replace(
+            bad_voxels=result.bad_voxels | np.asarray(s.bad))
+        return result

@@ -1,0 +1,285 @@
+"""Spatial VB tests: neighbour graphs, oracle parity of the Jacobi
+sweep, smoothing behavior, and sharded-mesh equivalence."""
+
+import numpy as np
+import pytest
+
+from fabber_core_tpu.core.neighbours import calc_neighbours, check_coords_ordered
+from fabber_core_tpu.exceptions import FabberError
+from fabber_core_tpu.inference.spatial import SpatialVBInference
+from fabber_core_tpu.inference.vb import VBInference
+from fabber_core_tpu.models import get_model_class
+from fabber_core_tpu.options import RunOptions
+
+
+def grid_coords(nx, ny, nz):
+    """x-fastest (z-major) coordinate list, like VolumeGeometry."""
+    coords = []
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                coords.append([x, y, z])
+    return np.array(coords, float)
+
+
+def neigh_set(neigh, v):
+    return {int(i) for i in neigh[v] if i >= 0}
+
+
+class TestNeighbourGraph:
+    """Semantics documented by the reference's (stale) spatialvb tests
+    (test_spatialvb.cc:81-585)."""
+
+    def test_line_1d(self):
+        coords = grid_coords(5, 1, 1)
+        neigh, neigh2 = calc_neighbours(coords, spatial_dims=1)
+        assert neigh_set(neigh, 0) == {1}
+        assert neigh_set(neigh, 2) == {1, 3}
+        assert neigh_set(neigh, 4) == {3}
+        # second neighbours: neighbours-of-neighbours excluding self
+        assert sorted(i for i in neigh2[2] if i >= 0) == [0, 4]
+
+    def test_cube_3d(self):
+        coords = grid_coords(3, 3, 3)
+        neigh, neigh2 = calc_neighbours(coords, spatial_dims=3)
+        centre = 13  # (1,1,1)
+        assert neigh_set(neigh, centre) == {12, 14, 10, 16, 4, 22}
+        corner = 0
+        assert neigh_set(neigh, corner) == {1, 3, 9}
+        # diagonally-connected second neighbours appear twice
+        n2 = [int(i) for i in neigh2[corner] if i >= 0]
+        assert n2.count(4) == 2   # reachable via 1 and 3
+        assert n2.count(10) == 2  # reachable via 1 and 9
+
+    def test_irregular_mask(self):
+        # L-shaped 2D region: (0,0),(1,0),(0,1)
+        coords = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+        neigh, _ = calc_neighbours(coords, spatial_dims=2)
+        assert neigh_set(neigh, 0) == {1, 2}
+        assert neigh_set(neigh, 1) == {0}
+        assert neigh_set(neigh, 2) == {0}
+
+    def test_no_wraparound(self):
+        # two rows: (2,0) and (0,1) are adjacent in flat index but not
+        # spatially
+        coords = grid_coords(3, 2, 1)
+        neigh, _ = calc_neighbours(coords, spatial_dims=2)
+        assert 3 not in neigh_set(neigh, 2)
+        assert neigh_set(neigh, 2) == {1, 5}
+
+    def test_misordered_coords_rejected(self):
+        coords = np.array([[1, 0, 0], [0, 0, 0]], float)
+        with pytest.raises(FabberError):
+            check_coords_ordered(coords)
+
+
+def spatial_oracle_sweeps(data, coords, design, niter, sd=3, q1=10.0,
+                          q2=1.0, tcode="M"):
+    """NumPy Jacobi spatial-VB oracle for a linear model + type-M/m/P/p
+    prior on every parameter, mirroring priors.cc:221-488 +
+    noisemodel_white.cc updates."""
+    nv, nt = data.shape
+    p = design.shape[1]
+    neigh, neigh2 = calc_neighbours(coords, sd)
+
+    means = np.zeros((nv, p))
+    cov = np.stack([np.eye(p) * 1e12] * nv)
+    phi_b = np.full(nv, 1e-8)
+    phi_c = np.full(nv, 50.0)
+    ak = np.full(p, 1e-8)
+    base_prec = 1e-12
+    base_mean = 0.0
+
+    centre = means.copy()
+    offset = np.zeros((nv, nt))
+    jac = np.tile(design, (nv, 1, 1))
+
+    for it in range(niter):
+        # aK from pre-sweep posteriors
+        if it > 0:
+            for k in range(p):
+                trace_term = term2 = 0.0
+                for v in range(nv):
+                    nbrs = [i for i in neigh[v] if i >= 0]
+                    nn = len(nbrs)
+                    sigma = cov[v, k, k]
+                    w = means[v, k]
+                    swk = sum(w - means[j, k] for j in nbrs)
+                    if tcode == "M":
+                        trace_term += sigma * (nn + 1e-8)
+                        term2 += swk * w
+                    elif tcode == "m":
+                        trace_term += sigma * sd * 2
+                        swk += w * (sd * 2 - nn)
+                        term2 += swk * w
+                    elif tcode == "P":
+                        trace_term += sigma * (nn * nn + nn)
+                        term2 += swk * swk
+                    else:  # p
+                        trace_term += sigma * (4 * sd * sd + 2 * sd)
+                        swk += w * (sd * 2 - nn)
+                        term2 += swk * swk
+                gk = 1.0 / (0.5 * trace_term + 0.5 * term2 + 1.0 / q1)
+                ak[k] = max(gk * (nv * 0.5 + q2), 1e-50)
+
+        # per-voxel priors from pre-sweep means
+        prior_means = np.zeros((nv, p))
+        prior_prec = np.zeros((nv, p))
+        for v in range(nv):
+            nbrs = [i for i in neigh[v] if i >= 0]
+            nbrs2 = [i for i in neigh2[v] if i >= 0]
+            nn, nn2 = len(nbrs), len(nbrs2)
+            for k in range(p):
+                contrib = sum(means[j, k] for j in nbrs)
+                contrib2 = -sum(means[j, k] for j in nbrs2)
+                nnk, nn2k = nn, nn2
+                if tcode in "pm":
+                    nnk, nn2k = 2 * sd, 4 * sd * sd - 2 * sd
+                if tcode == "M":
+                    sprec = ak[k] * (nnk + 1e-8)
+                elif tcode == "m":
+                    sprec = ak[k] * nnk
+                else:
+                    sprec = ak[k] * (nnk * nnk + nnk)
+                if tcode in "pm":
+                    newprec = sprec
+                else:
+                    newprec = base_prec + sprec
+                if tcode in "mM":
+                    smean = contrib / nnk if nnk else 0.0
+                    newmean = (1.0 / newprec) * sprec * smean
+                else:
+                    smean = ((8 * contrib + contrib2) / (8 * nnk - nn2k)
+                             if nnk else 0.0)
+                    newmean = (1.0 / newprec) * (sprec * smean
+                                                 + base_prec * base_mean)
+                prior_means[v, k] = newmean
+                prior_prec[v, k] = newprec
+
+        # theta update (old linearization, old phi)
+        new_means = np.zeros_like(means)
+        new_cov = np.zeros_like(cov)
+        for v in range(nv):
+            x = phi_b[v] * phi_c[v]
+            prec_v = np.diag(prior_prec[v]) + x * design.T @ design
+            cov_v = np.linalg.inv(prec_v)
+            mtmp = x * design.T @ (data[v] - offset[v] + design @ centre[v])
+            new_means[v] = cov_v @ (mtmp + prior_prec[v] * prior_means[v])
+            new_cov[v] = cov_v
+        means, cov = new_means, new_cov
+
+        # noise update + relinearize
+        for v in range(nv):
+            k_v = data[v] - offset[v] + design @ (centre[v] - means[v])
+            tmp = k_v @ k_v + np.trace(cov[v] @ design.T @ design)
+            phi_b[v] = 1.0 / (tmp * 0.5 + 1.0 / 1e6)
+            phi_c[v] = (nt - 1) * 0.5 + 1e-6
+        centre = means.copy()
+        offset = np.einsum("tp,vp->vt", design, means)
+
+    return means, cov, ak
+
+
+def run_spatial(data, coords, opts_dict):
+    options = RunOptions(opts_dict)
+    model = get_model_class(options.get_string("model"))(options)
+    eng = SpatialVBInference(model, options, data, coords)
+    return eng, eng.run()
+
+
+class TestSpatialOracle:
+    @pytest.mark.parametrize("tcode", ["M", "m", "P", "p"])
+    def test_matches_oracle_all_types(self, tcode):
+        rng = np.random.default_rng(0)
+        nx, ny, nz, nt = 4, 3, 2, 12
+        coords = grid_coords(nx, ny, nz)
+        nv = len(coords)
+        t = np.arange(1, nt + 1, dtype=float)
+        design = t[:, None] ** np.arange(2)[None, :]
+        truth = 1.0 + 0.1 * coords[:, 0]
+        data = (truth[:, None] + 0.05 * truth[:, None] * t[None, :]
+                + rng.normal(0, 0.1, (nv, nt)))
+
+        eng, res = run_spatial(data, coords, {
+            "model": "poly", "degree": "1", "noise": "white",
+            "method": "spatialvb", "param-spatial-priors": tcode * 2,
+            "max-iterations": "5"})
+
+        omeans, ocov, oak = spatial_oracle_sweeps(
+            data, coords, design, niter=5, tcode=tcode)
+        np.testing.assert_allclose(res.means, omeans, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.cov, ocov, rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(eng.final_ak, oak, rtol=1e-8)
+
+
+class TestSpatialBehavior:
+    def test_spatial_smooths_estimates(self):
+        rng = np.random.default_rng(1)
+        nx, ny, nz, nt = 6, 6, 1, 10
+        coords = grid_coords(nx, ny, nz)
+        nv = len(coords)
+        # constant true signal + heavy noise
+        data = 5.0 + rng.normal(0, 2.0, (nv, nt))
+
+        opts = {"model": "poly", "degree": "0", "noise": "white",
+                "max-iterations": "10"}
+        options = RunOptions(dict(opts))
+        model = get_model_class("poly")(options)
+        vox = VBInference(model, options, data, coords).run()
+
+        _, sp = run_spatial(data, coords, dict(
+            opts, **{"method": "spatialvb", "param-spatial-priors": "M",
+                     "spatial-dims": "2"}))
+
+        # spatial smoothing should reduce across-voxel scatter
+        assert sp.means[:, 0].std() < 0.7 * vox.means[:, 0].std()
+        # and stay centred on the truth
+        assert abs(sp.means[:, 0].mean() - 5.0) < 0.5
+
+    def test_runner_dispatches_spatial_by_prior_type(self):
+        """method=vb with spatial prior chars must route to spatial VB
+        (inference_vb.cc:334-358)."""
+        from fabber_core_tpu.api import FabberTpu
+        rng = np.random.default_rng(2)
+        shape, nt = (4, 4, 1), 8
+        data = 3.0 + rng.normal(0, 1.0, shape + (nt,))
+        run = FabberTpu().run_with_data({
+            "model": "poly", "degree": "0", "method": "vb", "noise": "white",
+            "param-spatial-priors": "M", "spatial-dims": "2",
+            "save-mean": True, "max-iterations": "5"}, {"data": data})
+        assert "mean_c0" in run.data
+
+
+class TestSpatialSharded:
+    def test_sharded_matches_single_device(self):
+        """The same jitted sweep under an 8-device voxel sharding must
+        produce identical results (GSPMD inserts the halo gathers +
+        psum)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        rng = np.random.default_rng(3)
+        nx, ny, nz, nt = 8, 4, 2, 10  # 64 voxels = 8 per device
+        coords = grid_coords(nx, ny, nz)
+        nv = len(coords)
+        data = 2.0 + rng.normal(0, 0.5, (nv, nt))
+        opts = {"model": "poly", "degree": "0", "noise": "white",
+                "method": "spatialvb", "param-spatial-priors": "M",
+                "max-iterations": "4"}
+
+        _, res_single = run_spatial(data, coords, dict(opts))
+
+        devices = jax.devices()
+        assert len(devices) == 8
+        mesh = Mesh(np.array(devices), ("v",))
+        sharding = NamedSharding(mesh, P("v"))
+
+        options = RunOptions(dict(opts))
+        model = get_model_class("poly")(options)
+        eng = SpatialVBInference(model, options, data, coords)
+        # shard the data along the voxel axis and rerun
+        eng.data = jax.device_put(eng.data, sharding)
+        res_sharded = eng.run()
+
+        np.testing.assert_allclose(res_sharded.means, res_single.means,
+                                   rtol=1e-12, atol=1e-12)

@@ -286,9 +286,8 @@ class VBInference:
         return merged._replace(it=new.it, fhist=fhist)
 
     # -- driver -----------------------------------------------------------
-    def run(self, continue_means=None, continue_cov=None, continue_noise=None):
-        s0 = self.initial_state(continue_means, continue_cov, continue_noise)
-
+    def compiled_loop(self):
+        """The full jitted device computation: state -> final state."""
         def cond(s):
             return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)
 
@@ -297,7 +296,11 @@ class VBInference:
             s = jax.lax.while_loop(cond, self._iteration, s)
             return self._finalize(s)
 
-        final, result = loop(s0)
+        return loop
+
+    def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        s0 = self.initial_state(continue_means, continue_cov, continue_noise)
+        final, result = self.compiled_loop()(s0)
         return self._to_result(final, result)
 
     def _finalize(self, s):

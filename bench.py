@@ -52,10 +52,11 @@ def main():
     eng = VBInference(model, opts, data, coords)
 
     loop = eng.compiled_loop()
+    bind = eng._bind()
+    s0 = jax.block_until_ready(eng.initial_state())
 
     def run_once():
-        s0 = eng.initial_state()
-        final, _ = loop(s0)
+        final, _ = loop(s0, bind)
         jax.block_until_ready(final.post.means)
         return final
 

@@ -3,7 +3,8 @@
 Capability parity with the reference NLLS method
 (inference_nlls.cc:90-293), which drives the MISCMATHS ``nonlin``
 optimizer per voxel. Here all voxels run a damped Gauss-Newton loop
-simultaneously with per-lane damping factors and accept/reject masks:
+simultaneously in SoA layout (voxels on lanes) with per-lane damping
+factors and accept/reject masks:
 
     cost     = ||y - f(p)||^2 (masked timepoints excluded)
     step     solve (J'J + lambda * D) delta = J'r
@@ -20,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dists import sym_inv
 from ..models.base import resolve_parameters, PRIOR_IMAGE
+from ..ops import smallmat as sm
 from ..options import OptionSpec, OPT_BOOL, OPT_INT
 from .linearize import Linearizer
 from .vb import VBResult
@@ -35,7 +36,7 @@ FAIL_PRECISION = 1e-12
 
 
 class NLLSState(NamedTuple):
-    params: jnp.ndarray  # [V,P]
+    params: jnp.ndarray  # [P,V]
     cost: jnp.ndarray    # [V]
     lam: jnp.ndarray     # [V]
     done: jnp.ndarray    # [V] bool
@@ -62,17 +63,17 @@ class NLLSInference:
         self.options = options
         self.dtype = dtype or (jnp.float64 if options.get_string(
             "dtype", "double") == "double" else jnp.float32)
-        self.data = jnp.asarray(data, self.dtype)
-        self.coords = jnp.asarray(coords, self.dtype)
+        self.data = jnp.asarray(data, self.dtype).T      # [T,V]
+        self.coords = jnp.asarray(coords, self.dtype).T  # [3,V]
         self.suppdata = None if suppdata is None or suppdata.shape[1] == 0 \
-            else jnp.asarray(suppdata, self.dtype)
-        self.nvoxels, self.nt = self.data.shape
+            else jnp.asarray(suppdata, self.dtype).T
+        self.nt, self.nvoxels = self.data.shape
 
         self.masked_tpoints = options.get_int_list("mt", 1)
-        tmask = np.ones(self.nt)
+        tmask = np.ones((self.nt, 1))
         for t in self.masked_tpoints:
-            tmask[t - 1] = 0.0
-        self.tmask = jnp.asarray(tmask, self.dtype)
+            tmask[t - 1, 0] = 0.0
+        self.tmask = jnp.asarray(tmask, self.dtype)  # [T,1]
         self.n_unmasked = int(tmask.sum())
 
         self.params = resolve_parameters(model, options)
@@ -85,12 +86,12 @@ class NLLSInference:
         self.max_its = options.get_int("nlls-max-iterations", 100, minval=1)
 
         lin_mode = options.get_string("linearization", "auto")
-        self.linearizer = Linearizer(model, self.params, self.data,
-                                     self.coords, self.suppdata, mode=lin_mode)
+        self.linearizer = Linearizer(model, self.params, self.nt,
+                                     mode=lin_mode)
 
     def initial_means(self):
-        """Initial estimate from the model's posterior defaults
-        (optionally overridden by fwd-initial-posterior file)."""
+        """Initial estimate from the model's posterior defaults;
+        returns [P,V] planes."""
         v, p = self.nvoxels, self.nparams
         means = np.zeros((v, p))
         for i, spec in enumerate(self.params):
@@ -100,79 +101,100 @@ class NLLSInference:
             else:
                 means[:, i] = spec.post.mean
         means = np.array(self.model.init_posterior(
-            np.asarray(self.data), jnp.asarray(means)))
+            self.data.T, jnp.asarray(means)))
         for i, spec in enumerate(self.params):
             means[:, i] = np.asarray(spec.transform.to_latent(
                 jnp.asarray(means[:, i])))
-        return jnp.asarray(means, self.dtype)
+        return jnp.asarray(means.T, self.dtype)
 
-    def _cost(self, params):
-        pred = self.linearizer.evaluate(params)
-        r = (self.data - pred) * self.tmask
-        return jnp.sum(r * r, axis=1)
+    def _bind(self):
+        from .vb import RunBindings
+        supp = self.suppdata if self.suppdata is not None \
+            else jnp.zeros((0, self.nvoxels), self.dtype)
+        return RunBindings(data=self.data, coords=self.coords, supp=supp,
+                           prior_base_means=())
 
-    def _step(self, s):
-        offset, jac = self.linearizer(s.params)
-        jac = jac * self.tmask[None, :, None]
-        r = (self.data - offset) * self.tmask
-        jtj = jnp.einsum("vtp,vtq->vpq", jac, jac)
-        jtr = jnp.einsum("vtp,vt->vp", jac, r)
+    def evaluate_model(self, means_planes, key=""):
+        """Model prediction [T,V] at latent means [P,V] (for outputs)."""
+        bind = self._bind()
+        lin = self.linearizer if not key else Linearizer(
+            self.model, self.params, self.nt, key=key)
+        return lin.evaluate(jnp.asarray(means_planes, self.dtype),
+                            bind.data, bind.coords, bind.supp)
 
+    def _cost(self, params, bind):
+        pred = self.linearizer.evaluate(params, bind.data, bind.coords,
+                                        bind.supp)
+        r = (bind.data - pred) * self.tmask
+        return jnp.sum(r * r, axis=0)
+
+    def _jtj_jtr(self, params, bind):
+        offset, jac = self.linearizer(params, bind.data, bind.coords,
+                                      bind.supp)
+        jac = jac * self.tmask[None]
+        r = (bind.data - offset) * self.tmask
+        p = self.nparams
+        jtj = jnp.stack([
+            jnp.stack([jnp.sum(jac[i] * jac[j], axis=0) for j in range(p)])
+            for i in range(p)])
+        jtr = jnp.stack([jnp.sum(jac[i] * r, axis=0) for i in range(p)])
+        return jtj, jtr
+
+    def _step(self, s, bind):
+        jtj, jtr = self._jtj_jtr(s.params, bind)
         if self.marquardt:
-            damp = jnp.diagonal(jtj, axis1=-2, axis2=-1)
+            damp = sm.diag_of(jtj)
         else:
             damp = jnp.ones_like(s.params)
-        idx = jnp.arange(self.nparams)
-        damped = jtj.at[:, idx, idx].add(s.lam[:, None] * damp)
+        damped = sm.add_diag(jtj, s.lam[None] * damp)
+        chol, _ok = sm.cholesky_jittered(damped)
+        delta = sm.solve_chol_vec(chol, jtr)
 
-        delta = _chol_solve(damped, jtr)
         trial = s.params + delta
-        trial_cost = self._cost(trial)
+        trial_cost = self._cost(trial, bind)
         better = (trial_cost < s.cost) & jnp.isfinite(trial_cost)
 
-        params = jnp.where(better[:, None], trial, s.params)
+        params = jnp.where(better[None], trial, s.params)
         cost = jnp.where(better, trial_cost, s.cost)
         lam = jnp.where(better, s.lam * LAMBDA_SHRINK, s.lam * LAMBDA_GROW)
         done = s.done | (lam > LAMBDA_MAX)
-        new = NLLSState(params, cost, lam, done, s.it + 1)
 
-        # freeze finished lanes
         keep = s.done
         return NLLSState(
-            jnp.where(keep[:, None], s.params, new.params),
-            jnp.where(keep, s.cost, new.cost),
-            jnp.where(keep, s.lam, new.lam),
-            new.done, new.it)
+            jnp.where(keep[None], s.params, params),
+            jnp.where(keep, s.cost, cost),
+            jnp.where(keep, s.lam, lam),
+            done, s.it + 1)
 
     def run(self):
+        bind = self._bind()
         p0 = self.initial_means()
         s0 = NLLSState(
-            params=p0, cost=self._cost(p0),
+            params=p0, cost=self._cost(p0, bind),
             lam=jnp.full(self.nvoxels, LAMBDA_INIT, self.dtype),
             done=jnp.zeros(self.nvoxels, bool),
             it=jnp.array(0, jnp.int32))
 
         @jax.jit
-        def solve(s):
+        def solve(s, bind):
             s = jax.lax.while_loop(
                 lambda s: (~jnp.all(s.done)) & (s.it < self.max_its),
-                self._step, s)
+                lambda st: self._step(st, bind), s)
             # posterior precision = J'J/mse, diagonal floor 1e-6
-            _, jac = self.linearizer(s.params)
-            jac = jac * self.tmask[None, :, None]
-            jtj = jnp.einsum("vtp,vtq->vpq", jac, jac)
+            jtj, _ = self._jtj_jtr(s.params, bind)
             mse = s.cost / (self.n_unmasked - self.nparams)
-            prec = jtj / mse[:, None, None]
-            idx = jnp.arange(self.nparams)
-            d = jnp.diagonal(prec, axis1=-2, axis2=-1)
-            prec = prec.at[:, idx, idx].set(jnp.maximum(d, PREC_DIAG_FLOOR))
-            cov = sym_inv(prec)
+            prec = jtj / mse[None, None]
+            d = sm.diag_of(prec)
+            for i in range(self.nparams):
+                prec = prec.at[i, i].set(jnp.maximum(d[i], PREC_DIAG_FLOOR))
+            chol, _ = sm.cholesky_jittered(prec)
+            cov = sm.inverse_from_chol(chol)
             return s, prec, cov
 
-        s, prec, cov = solve(s0)
+        s, prec, cov = solve(s0, bind)
 
-        means = np.asarray(s.params)
-        cov = np.asarray(cov)
+        means = np.asarray(s.params).T.copy()               # [V,P]
+        cov = np.moveaxis(np.asarray(cov), -1, 0).copy()    # [V,P,P]
         bad = ~(np.isfinite(means).all(axis=1)
                 & np.isfinite(cov).reshape(cov.shape[0], -1).all(axis=1))
         if bad.any():
@@ -188,11 +210,3 @@ class NLLSInference:
             free_energy=None, fhistory=None,
             iterations=np.full(self.nvoxels, int(np.asarray(s.it))),
             bad_voxels=bad)
-
-
-def _chol_solve(mats, rhs):
-    chol = jnp.linalg.cholesky(mats)
-    y = jax.scipy.linalg.solve_triangular(chol, rhs[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(chol, -1, -2), y, lower=False)
-    return x[..., 0]

@@ -1,15 +1,15 @@
-"""Prior application, vectorized over voxels.
+"""Prior application, vectorized over voxels (SoA layout).
 
 The reference applies one Prior object per parameter per voxel per
 iteration (priors.cc:108-181). Here the non-spatial prior family
 (default/normal, image, ARD) becomes a single vectorized update of the
-diagonal prior state arrays; spatial priors (types M/m/P/p) live in
+prior plane arrays; spatial priors (types M/m/P/p) live in
 inference/spatial.py because they couple voxels through the MRF graph.
 
 Prior precision is always diagonal in this engine: the reference's
 per-voxel prior MVN starts as the identity and only ever has its
-diagonal written (priors.cc:112-117), so we carry [V,P] arrays instead
-of [V,P,P] matrices.
+diagonal written (priors.cc:112-117), so we carry [P,V] planes instead
+of [P,P,V] matrices.
 """
 
 import math
@@ -32,72 +32,82 @@ class PriorSetup:
 
     def __init__(self, params, voxel_data, nvoxels, dtype):
         """params: list[ParamSpec] with latent-space priors.
-        voxel_data: callable key -> [V] or [V,T] array (for image priors).
+        voxel_data: callable key -> [V] or [V,T] array (image priors).
         """
         self.params = params
         self.nparams = len(params)
+        self.nvoxels = nvoxels
         self.dtype = dtype
 
-        base_means = np.array([p.prior.mean for p in params], dtype)
-        base_precs = np.array([p.prior.prec for p in params], dtype)
+        base_means = np.array([[p.prior.mean] for p in params], dtype)  # [P,1]
+        base_precs = np.array([[p.prior.prec] for p in params], dtype)
 
-        # Per-voxel prior mean table: image priors get voxelwise means
-        means_vox = np.broadcast_to(base_means, (nvoxels, self.nparams)).copy()
-        self.image_params = []
-        for i, p in enumerate(params):
-            if p.prior_type == PRIOR_IMAGE:
-                key = p.options["image"]
-                img = np.asarray(voxel_data(key), dtype).reshape(nvoxels, -1)[:, 0]
-                means_vox[:, i] = img
-                self.image_params.append(i)
-
-        self.base_means = jnp.asarray(means_vox)        # [V,P]
-        self.base_precs = jnp.asarray(base_precs)       # [P]
+        # Per-voxel prior mean table; image priors get voxelwise means.
+        # Without image priors this stays a [P,1] broadcast (free).
+        self.image_params = [i for i, p in enumerate(params)
+                             if p.prior_type == PRIOR_IMAGE]
+        if self.image_params:
+            means_vox = np.broadcast_to(
+                base_means, (self.nparams, nvoxels)).copy()
+            for i in self.image_params:
+                key = params[i].options["image"]
+                img = np.asarray(voxel_data(key), dtype).reshape(nvoxels, -1)
+                means_vox[i] = img[:, 0]
+            self.base_means = jnp.asarray(means_vox)   # [P,V]
+        else:
+            self.base_means = jnp.asarray(base_means)  # [P,1] broadcastable
+        self.base_precs = jnp.asarray(base_precs)      # [P,1]
         self.base_vars = jnp.asarray(
-            np.array([p.prior.var for p in params], dtype))  # [P]
+            np.array([[p.prior.var] for p in params], dtype))  # [P,1]
         self.ard_mask = np.array(
             [p.prior_type == PRIOR_ARD for p in params])
         self.has_ard = bool(self.ard_mask.any())
         self.spatial_params = [i for i, p in enumerate(params)
                                if p.prior_type in SPATIAL_PRIOR_TYPES]
 
-    def apply(self, prior_means, prior_prec_diag, post_means, post_cov_diag, it):
+    def apply(self, prior_means, prior_prec, post_means, post_cov_diag, it,
+              base_means=None):
         """One sweep of non-spatial prior updates.
 
-        Returns (prior_means [V,P], prior_prec_diag [V,P],
-        f_contribs [V,P]) where f_contribs[:,k] is prior k's free-energy
-        contribution (non-zero only for ARD).
+        All planes are [P,V]. Returns (prior_means, prior_prec,
+        f_contribs) where f_contribs[k] is prior k's free-energy
+        contribution (non-zero only for ARD). base_means may be passed
+        explicitly (threaded through jit as an argument rather than
+        captured, since image-prior tables scale with V).
         """
-        nv = post_means.shape[0]
-        means = jnp.broadcast_to(self.base_means, (nv, self.nparams))
-        precs = jnp.broadcast_to(self.base_precs[None, :], (nv, self.nparams))
-        f_contribs = jnp.zeros((nv, self.nparams), self.dtype)
+        nv = post_means.shape[1]
+        shape = (self.nparams, nv)
+        if base_means is None:
+            base_means = self.base_means
+        means = jnp.broadcast_to(base_means, shape)
+        precs = jnp.broadcast_to(self.base_precs, shape)
+        f_contribs = jnp.zeros(shape, self.dtype)
 
         if self.has_ard:
-            ard = jnp.asarray(self.ard_mask)
+            ard = jnp.asarray(self.ard_mask)[:, None]
             # ARD prior variance = posterior_mean^2 + posterior_var from
             # iteration 1 onwards; model default on iteration 0
             # (priors.cc:150-181). Prior mean stays at the model default.
             new_var = post_means ** 2 + post_cov_diag
             ard_var = jnp.where(it == 0,
-                                jnp.broadcast_to(self.base_vars[None, :], new_var.shape),
+                                jnp.broadcast_to(self.base_vars, shape),
                                 new_var)
-            precs = jnp.where(ard[None, :], 1.0 / ard_var, precs)
+            precs = jnp.where(ard, 1.0 / ard_var, precs)
             # free energy contribution (computed from new_var regardless
             # of iteration, as in the reference)
             b = 2.0 / new_var
             fard = (-1.5 * (jnp.log(b) + _DIGAMMA_HALF) - 0.5 - _GAMMALN_HALF
                     - 0.5 * jnp.log(b))
-            f_contribs = jnp.where(ard[None, :], fard, f_contribs)
+            f_contribs = jnp.where(ard, fard, f_contribs)
 
         # Spatial parameters are handled by the spatial engine; keep
         # their existing prior state untouched here.
         if self.spatial_params:
             spatial = np.zeros(self.nparams, bool)
             spatial[self.spatial_params] = True
-            sp = jnp.asarray(spatial)
-            means = jnp.where(sp[None, :], prior_means, means)
-            precs = jnp.where(sp[None, :], prior_prec_diag, precs)
+            sp = jnp.asarray(spatial)[:, None]
+            means = jnp.where(sp, prior_means, means)
+            precs = jnp.where(sp, prior_prec, precs)
 
         return means, precs, f_contribs
 

@@ -34,7 +34,9 @@ from ..exceptions import InvalidOptionValue
 from ..models.base import (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
                            PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)
 from ..options import OptionSpec, OPT_INT, OPT_STR, OPT_BOOL, OPT_FLOAT
-from .vb import VBInference, VBLoopState, PosteriorState, _lane_where
+from ..ops import smallmat as sm
+from .vb import (VBInference, VBLoopState, PosteriorState,
+                 _lane_where)
 
 AK_INIT = 1e-8
 AK_FLOOR = 1e-50
@@ -98,6 +100,9 @@ class SpatialVBInference(VBInference):
         self.neigh = jnp.asarray(neigh)
         self.neigh2 = jnp.asarray(neigh2)
 
+    def _bind(self):
+        return super()._bind()._replace(neigh=self.neigh, neigh2=self.neigh2)
+
     # -- spatial prior math ----------------------------------------------
     def _gather_sum(self, values, idx, active):
         """Sum `values` over a padded neighbour index array, counting
@@ -109,7 +114,7 @@ class SpatialVBInference(VBInference):
         w = (valid & act).astype(values.dtype)
         return jnp.sum(vals * w, axis=1), jnp.sum(w, axis=1)
 
-    def _calculate_ak(self, post, active):
+    def _calculate_ak(self, post, active, bind):
         """Penny 2005 Fig 4 update for each spatial parameter's global
         precision (priors.cc:221-344). Pure reduction — psum under
         sharding."""
@@ -118,9 +123,9 @@ class SpatialVBInference(VBInference):
         actf = active.astype(dtype)
         aks = []
         for slot, (k, tcode) in enumerate(self.spatial_params):
-            sigma_k = post.cov[:, k, k]
-            w_k = post.means[:, k]
-            nsum, nn = self._gather_sum(w_k, self.neigh, active)
+            sigma_k = post.cov[k, k]
+            w_k = post.means[k]
+            nsum, nn = self._gather_sum(w_k, bind.neigh, active)
 
             if tcode == PRIOR_SPATIAL_m:
                 trace_w = jnp.full_like(sigma_k, sd * 2)
@@ -150,15 +155,16 @@ class SpatialVBInference(VBInference):
             aks.append(ak)
         return jnp.stack(aks)
 
-    def _apply_spatial_priors(self, post, prior_means, prior_prec, ak, active):
+    def _apply_spatial_priors(self, post, prior_means, prior_prec, ak,
+                              active, bind):
         """Per-voxel spatial prior mean/precision from neighbour
         posterior means (priors.cc:346-488)."""
         dtype = self.dtype
         sd = self.spatial_dims
         for slot, (k, tcode) in enumerate(self.spatial_params):
-            w_k = post.means[:, k]
-            contrib_nn, nn = self._gather_sum(w_k, self.neigh, active)
-            nsum2, nn2 = self._gather_sum(w_k, self.neigh2, active)
+            w_k = post.means[k]
+            contrib_nn, nn = self._gather_sum(w_k, bind.neigh, active)
+            nsum2, nn2 = self._gather_sum(w_k, bind.neigh2, active)
             contrib_nn2 = -nsum2
 
             if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
@@ -194,52 +200,52 @@ class SpatialVBInference(VBInference):
                 new_mean = (1.0 / new_prec) * (
                     spatial_prec * spatial_mean + base_prec * base_mean)
 
-            prior_means = prior_means.at[:, k].set(new_mean.astype(dtype))
-            prior_prec = prior_prec.at[:, k].set(new_prec.astype(dtype))
+            prior_means = prior_means.at[k].set(new_mean.astype(dtype))
+            prior_prec = prior_prec.at[k].set(new_prec.astype(dtype))
         return prior_means, prior_prec
 
     # -- sweep ------------------------------------------------------------
-    def _sweep(self, it, s):
+    def _sweep(self, it, s, bind):
         active = ~s.bad
         post = s.post
 
         # aK: updated at sweep start from previous sweep's posteriors
         # (skipped on sweep 0 unless update-first-iteration)
         do_update = (it > 0) | self.update_first_iter
-        ak = jnp.where(do_update, self._calculate_ak(post, active), s.ak)
+        ak = jnp.where(do_update, self._calculate_ak(post, active, bind), s.ak)
 
         # priors: non-spatial family first, spatial overrides
         prior_means, prior_prec, f_contribs = self.prior_setup.apply(
             post.prior_means, post.prior_prec, post.means,
-            jnp.diagonal(post.cov, axis1=-2, axis2=-1), it)
+            sm.diag_of(post.cov), it, base_means=bind.prior_base_means)
         prior_means, prior_prec = self._apply_spatial_priors(
-            post, prior_means, prior_prec, ak, active)
+            post, prior_means, prior_prec, ak, active, bind)
         # spatial mode *sums* prior F contributions (inference_vb.cc:630)
-        fprior = jnp.sum(f_contribs, axis=1)
+        fprior = jnp.sum(f_contribs, axis=0)
 
         # theta update (phase A), then noise + relinearize (phase B)
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, self.data, None)
+            s.centre, s.offset, s.jac, bind.data, None)
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, self.data)
-        offset, jac = self.linearizer(means)
+            s.centre, s.offset, s.jac, bind.data)
+        offset, jac = self._recentre(means, bind)
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)
         if self.need_f:
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
-                prior_means, prior_prec, means, offset, jac, self.data)
+                prior_means, prior_prec, means, offset, jac, bind.data)
             f = f + fprior
         else:
             f = s.f
 
         # newly-failed voxels revert to their pre-sweep state and are
         # excised from the neighbour graph for all future sweeps
-        finite = (jnp.all(jnp.isfinite(means), axis=1)
-                  & jnp.all(jnp.isfinite(cov.reshape(cov.shape[0], -1)), axis=1))
+        finite = (jnp.all(jnp.isfinite(means), axis=0)
+                  & jnp.all(jnp.isfinite(cov), axis=(0, 1)))
         bad = s.bad | ~finite
 
         new = SpatialState(post=new_post, centre=means, offset=offset,
@@ -263,10 +269,11 @@ class SpatialVBInference(VBInference):
             bad=jnp.zeros(self.nvoxels, bool))
 
         @jax.jit
-        def loop(s):
-            return jax.lax.fori_loop(0, self.max_its, self._sweep, s)
+        def loop(s, bind):
+            return jax.lax.fori_loop(
+                0, self.max_its, lambda i, st: self._sweep(i, st, bind), s)
 
-        s = loop(s0)
+        s = loop(s0, self._bind())
         self.final_ak = np.asarray(s.ak)
 
         # wrap into the VBLoopState shape expected by _to_result

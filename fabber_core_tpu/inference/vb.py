@@ -1,22 +1,25 @@
-"""Batched Variational Bayes engine (voxelwise mode).
+"""Batched Variational Bayes engine (voxelwise mode), SoA layout.
 
 The reference's hot loop (inference_vb.cc:415-576) iterates voxels
 serially, each with its own convergence detector and save/revert
 bookkeeping. Here one jitted fixed-point iteration advances *all*
 voxels at once:
 
-    state: pytree of [V,...] arrays (posterior MVN, diagonal prior,
-           Gamma noise, linearization, detector lanes, best-so-far)
+    state: pytree of [..., V] planes — voxels live on the fastest
+           (lane-tiled) axis: posterior means [P,V], precision/
+           covariance [P,P,V], diagonal prior [P,V], Gamma noise [Q,V],
+           detector lanes [V], best-so-far copies.
     step:  priors -> UpdateTheta -> UpdateNoise -> ReCentre -> F ->
            detector test; converged lanes are frozen with jnp.where.
 
 This reproduces the serial semantics exactly (each lane sees the same
 sequence of updates it would have seen in the C++ loop) while mapping
-the arithmetic onto batched T x P / P x P contractions that XLA tiles
-onto the TPU MXU. A deliberate deviation: the reference computes the
-free energy four times per iteration (inference_vb.cc:468-495) but only
-the post-ReCentre value feeds the convergence test or outputs, so we
-compute it once.
+the arithmetic onto full-width VPU planes: with P ~ 2-20 parameters the
+per-voxel P x P algebra is unrolled elementwise (ops/smallmat.py), so
+nothing is wasted padding tiny matrices into 8x128 tiles. A deliberate
+deviation: the reference computes the free energy four times per
+iteration (inference_vb.cc:468-495) but only the post-ReCentre value
+feeds the convergence test or outputs, so we compute it once.
 """
 
 from typing import Any, NamedTuple
@@ -25,30 +28,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dists import sym_inv
 from ..models.base import resolve_parameters, PRIOR_IMAGE
 from ..noise import get_noise_class
+from ..ops import smallmat as sm
 from ..options import OptionSpec, OPT_STR, OPT_INT, OPT_BOOL, OPT_MVN
 from .convergence import ConvState, get_detector_class
 from .linearize import Linearizer
 from .priors import PriorSetup
 
 
+class RunBindings(NamedTuple):
+    """Per-run device arrays threaded through every jitted function as
+    arguments (never closure-captured: captures are baked into the HLO
+    as constants, which breaks at volume scale)."""
+    data: Any        # [T,V]
+    coords: Any      # [3,V]
+    supp: Any        # [S,V] (S may be 0)
+    prior_base_means: Any  # [P,V] or [P,1]
+    neigh: Any = ()   # spatial mode: [V,6]
+    neigh2: Any = ()  # spatial mode: [V,30]
+
+
 class PosteriorState(NamedTuple):
-    means: Any       # [V,P] latent
-    prec: Any        # [V,P,P]
-    cov: Any         # [V,P,P]
-    prior_means: Any  # [V,P]
-    prior_prec: Any  # [V,P] diagonal prior precision
+    means: Any       # [P,V] latent
+    prec: Any        # [P,P,V]
+    cov: Any         # [P,P,V]
+    prior_means: Any  # [P,V]
+    prior_prec: Any  # [P,V] diagonal prior precision
     noise: Any       # noise-model state pytree (e.g. WhiteNoiseState)
 
 
 class VBLoopState(NamedTuple):
     it: Any          # scalar int32
     post: PosteriorState
-    centre: Any      # [V,P] linearization centre
-    offset: Any      # [V,T] model signal at centre
-    jac: Any         # [V,T,P]
+    centre: Any      # [P,V] linearization centre
+    offset: Any      # [T,V] model signal at centre
+    jac: Any         # [P,T,V]
     f: Any           # [V]
     fprior: Any      # [V]
     conv: ConvState
@@ -68,9 +83,9 @@ class VBResult(NamedTuple):
 
 
 def _lane_where(mask, new, old):
-    """Per-lane select over a pytree of [V,...] arrays."""
+    """Per-lane select over a pytree of [..., V] planes."""
     def sel(n, o):
-        m = mask.reshape(mask.shape + (1,) * (n.ndim - 1))
+        m = mask.reshape((1,) * (n.ndim - 1) + mask.shape)
         return jnp.where(m, n, o)
     return jax.tree_util.tree_map(sel, new, old)
 
@@ -108,17 +123,18 @@ class VBInference:
 
     def __init__(self, model, options, data, coords, suppdata=None,
                  voxel_data_getter=None, dtype=None):
-        """data [V,T] float, coords [V,3], suppdata [V,S] or None."""
+        """data [V,T] float, coords [V,3], suppdata [V,S] or None
+        (voxel-major at the API boundary; transposed to SoA here)."""
         self.model = model
         self.options = options
         self.dtype = dtype or (jnp.float64 if options.get_string(
             "dtype", "double") == "double" else jnp.float32)
 
-        self.data = jnp.asarray(data, self.dtype)
-        self.coords = jnp.asarray(coords, self.dtype)
+        self.data = jnp.asarray(data, self.dtype).T       # [T,V]
+        self.coords = jnp.asarray(coords, self.dtype).T   # [3,V]
         self.suppdata = None if suppdata is None or suppdata.shape[1] == 0 \
-            else jnp.asarray(suppdata, self.dtype)
-        self.nvoxels, self.nt = self.data.shape
+            else jnp.asarray(suppdata, self.dtype).T      # [S,V]
+        self.nt, self.nvoxels = self.data.shape
 
         self.masked_tpoints = options.get_int_list("mt", 1)
         self.params = resolve_parameters(model, options)
@@ -144,47 +160,64 @@ class VBInference:
                                       self.nvoxels, self.dtype)
 
         lin_mode = options.get_string("linearization", "auto")
-        self.linearizer = Linearizer(model, self.params, self.data,
-                                     self.coords, self.suppdata, mode=lin_mode)
+        self.linearizer = Linearizer(model, self.params, self.nt,
+                                     mode=lin_mode)
 
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
 
+    def _bind(self):
+        supp = self.suppdata if self.suppdata is not None \
+            else jnp.zeros((0, self.nvoxels), self.dtype)
+        return RunBindings(data=self.data, coords=self.coords, supp=supp,
+                           prior_base_means=self.prior_setup.base_means)
+
+    def _recentre(self, means, bind):
+        return self.linearizer(means, bind.data, bind.coords, bind.supp)
+
+    def evaluate_model(self, means_planes, key=""):
+        """Model prediction [T,V] at latent means [P,V] (for outputs)."""
+        bind = self._bind()
+        if key:
+            lin = Linearizer(self.model, self.params, self.nt, key=key)
+            return lin.evaluate(jnp.asarray(means_planes, self.dtype),
+                                bind.data, bind.coords, bind.supp)
+        return self.linearizer.evaluate(
+            jnp.asarray(means_planes, self.dtype),
+            bind.data, bind.coords, bind.supp)
+
     # -- initial state ----------------------------------------------------
     def initial_posterior(self):
-        """Build latent-space initial posterior (fwdmodel.cc:284-313)."""
+        """Build latent-space initial posterior (fwdmodel.cc:284-313).
+        Returns means [P,V], prec [P,P,V], cov [P,P,V].
+
+        Built on device: only per-parameter scalars (and image-prior
+        planes, when present) come from the host.
+        """
         v, p = self.nvoxels, self.nparams
-        means = np.zeros((v, p))
-        variances = np.zeros((v, p))
-        for i, spec in enumerate(self.params):
+        cols = []
+        for spec in self.params:
             if spec.prior_type == PRIOR_IMAGE:
                 img = np.asarray(self._voxel_data(spec.options["image"]))
-                means[:, i] = img.reshape(v, -1)[:, 0]
+                cols.append(jnp.asarray(img.reshape(v, -1)[:, 0], self.dtype))
             else:
-                means[:, i] = spec.post.mean
-            variances[:, i] = spec.post.var
+                cols.append(jnp.full((v,), spec.post.mean, self.dtype))
+        means_vox = jnp.stack(cols, axis=1)  # [V,P] model space
 
-        # voxelwise model init hook (model space)
-        means = np.asarray(self.model.init_posterior(
-            np.asarray(self.data), jnp.asarray(means)))
+        # voxelwise model init hook (model space, voxel-major API)
+        means_vox = self.model.init_posterior(self.data.T, means_vox)
 
-        # transform to latent space
-        lmeans = np.zeros_like(means)
-        lvars = np.zeros_like(variances)
+        # transform to latent space, building SoA planes
+        lmeans, lvars = [], []
         for i, spec in enumerate(self.params):
-            m, var = spec.transform.to_latent_moments(
-                jnp.asarray(means[:, i]), jnp.asarray(variances[:, i]))
-            lmeans[:, i] = np.asarray(m)
-            lvars[:, i] = np.asarray(var)
-
-        cov = np.zeros((v, p, p))
-        idx = np.arange(p)
-        cov[:, idx, idx] = lvars
-        prec = np.zeros_like(cov)
-        prec[:, idx, idx] = 1.0 / lvars
-        return (jnp.asarray(lmeans, self.dtype), jnp.asarray(prec, self.dtype),
-                jnp.asarray(cov, self.dtype))
+            var = jnp.full((v,), spec.post.var, self.dtype)
+            m, lv = spec.transform.to_latent_moments(means_vox[:, i], var)
+            lmeans.append(m.astype(self.dtype))
+            lvars.append(lv.astype(self.dtype))
+        lmeans = jnp.stack(lmeans)
+        lvars = jnp.stack(lvars)
+        return lmeans, sm.diag_planes(1.0 / lvars), sm.diag_planes(lvars)
 
     def initial_state(self, continue_means=None, continue_cov=None,
                       continue_noise=None):
@@ -193,9 +226,11 @@ class VBInference:
         self.noise_prior = noise_prior
 
         if continue_means is not None:
-            means = jnp.asarray(continue_means, self.dtype)
-            cov = jnp.asarray(continue_cov, self.dtype)
-            prec = sym_inv(cov)
+            # voxel-major [V,P] / [V,P,P] in, SoA planes internally
+            means = jnp.asarray(continue_means, self.dtype).T
+            cov = jnp.moveaxis(jnp.asarray(continue_cov, self.dtype), 0, -1)
+            chol, _ = sm.cholesky_jittered(cov)
+            prec = sm.inverse_from_chol(chol)
             if continue_noise is not None:
                 noise_post = jax.tree_util.tree_map(
                     lambda x: jnp.asarray(x, self.dtype), continue_noise)
@@ -204,10 +239,10 @@ class VBInference:
 
         # Initial prior: identity precision, zero mean; real values are
         # written by the prior sweep inside iteration 0.
-        prior_means = jnp.zeros((v, p), self.dtype)
-        prior_prec = jnp.ones((v, p), self.dtype)
+        prior_means = jnp.zeros((p, v), self.dtype)
+        prior_prec = jnp.ones((p, v), self.dtype)
 
-        offset, jac = self.linearizer(means)
+        offset, jac = self._recentre(means, self._bind())
 
         post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                               noise_post)
@@ -222,7 +257,7 @@ class VBInference:
             conv=conv, best=post, fhist=fhist)
 
     # -- one iteration ----------------------------------------------------
-    def _iteration(self, s):
+    def _iteration(self, s, bind):
         post = s.post
 
         # 1. Save current state as best-so-far where flagged by the
@@ -232,25 +267,25 @@ class VBInference:
         # 2. Apply priors
         prior_means, prior_prec, f_contribs = self.prior_setup.apply(
             post.prior_means, post.prior_prec, post.means,
-            jnp.diagonal(post.cov, axis1=-2, axis2=-1), s.it)
+            sm.diag_of(post.cov), s.it, base_means=bind.prior_base_means)
         # Voxelwise mode quirk: the reference *assigns* (not sums) each
         # prior's F contribution in turn, so only the last parameter's
         # survives (inference_vb.cc:460-463). Mirrored for parity.
-        fprior = f_contribs[:, -1]
+        fprior = f_contribs[-1]
 
         # 3. Theta update (Eq 19/20)
         lm_alpha = s.conv.alpha if self.is_lm else None
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, self.data, lm_alpha)
+            s.centre, s.offset, s.jac, bind.data, lm_alpha)
 
         # 4. Noise update (Eq 21/22)
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, self.data)
+            s.centre, s.offset, s.jac, bind.data)
 
         # 5. Re-linearize about the new posterior means
-        offset, jac = self.linearizer(means)
+        offset, jac = self._recentre(means, bind)
         centre = means
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
@@ -261,7 +296,7 @@ class VBInference:
         if self.need_f:
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
-                prior_means, prior_prec, centre, offset, jac, self.data)
+                prior_means, prior_prec, centre, offset, jac, bind.data)
             f = f + fprior
         else:
             f = s.f
@@ -292,28 +327,29 @@ class VBInference:
             return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)
 
         @jax.jit
-        def loop(s):
-            s = jax.lax.while_loop(cond, self._iteration, s)
-            return self._finalize(s)
+        def loop(s, bind):
+            s = jax.lax.while_loop(cond, lambda st: self._iteration(st, bind),
+                                   s)
+            return self._finalize(s, bind)
 
         return loop
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
         s0 = self.initial_state(continue_means, continue_cov, continue_noise)
-        final, result = self.compiled_loop()(s0)
+        final, result = self.compiled_loop()(s0, self._bind())
         return self._to_result(final, result)
 
-    def _finalize(self, s):
+    def _finalize(self, s, bind):
         """Post-loop save/revert (inference_vb.cc:505-525)."""
         best = _lane_where(s.conv.save, s.post, s.best)
         post = _lane_where(s.conv.revert, best, s.post)
 
-        offset, jac = self.linearizer(post.means)
+        offset, jac = self._recentre(post.means, bind)
         if self.need_f:
             f_rev = self.noise.free_energy(
                 post.noise, self.noise_prior, post.means, post.prec, post.cov,
                 post.prior_means, post.prior_prec, post.means, offset, jac,
-                self.data) + s.fprior
+                bind.data) + s.fprior
             f = jnp.where(s.conv.revert, f_rev, s.f)
         else:
             f = s.f
@@ -324,8 +360,8 @@ class VBInference:
         post = s.post
         noise_means, noise_cov = self.noise.state_to_mvn(post.noise)
 
-        means = np.asarray(post.means)
-        cov = np.asarray(post.cov)
+        means = np.asarray(post.means).T.copy()            # [V,P]
+        cov = np.moveaxis(np.asarray(post.cov), -1, 0).copy()  # [V,P,P]
         nmeans = np.asarray(noise_means)
         ncov = np.asarray(noise_cov)
         f = np.asarray(s.f) if self.need_f else None

@@ -1,21 +1,23 @@
-"""White-noise VB update equations, batched over voxels.
+"""White-noise VB update equations in SoA (voxels-on-lanes) layout.
 
 Implements the analytic VB fixed-point updates of Chappell et al. 2009
 (Eqs 19-22) with the same numerical conventions as the reference
-(noisemodel_white.cc:228-454), re-expressed as batched array
-contractions so XLA can tile them onto the MXU:
+(noisemodel_white.cc:228-454), re-expressed for the TPU's vector units:
+every per-voxel quantity is a [..., V] plane (voxels on the fastest,
+lane-tiled axis) and the tiny P x P algebra is unrolled elementwise
+(ops/smallmat.py) instead of batched LAPACK calls — the layout a SIMD
+machine wants when P << 128.
 
-  * noise precisions phi_i ~ Gamma(b_i, c_i), one per group of
-    timepoints defined by the ``noise-pattern`` string (e.g. "12" gives
-    odd/even samples independent variances);
-  * theta update:  Lambda = Lambda0 + J^T X J,
-                   m = Lambda^-1 (J^T X (y - g(m) + J m_c) + Lambda0 m0)
+Array shapes:  means/prior [P,V], precision/covariance [P,P,V],
+data/offset [T,V], Jacobian [P,T,V], noise state phi_b/phi_c [Q,V].
+
+Update equations:
+  * theta:  Lambda = Lambda0 + J^T X J,
+            m = Lambda^-1 (J^T X (y - g(m) + J m_c) + Lambda0 m0)
     with X = diag of E[phi] per timepoint (masked timepoints excluded);
-  * phi update:    1/b = (k^T Q k + tr(Sigma J^T Q J))/2 + 1/b0,
-                   c = (n-1)/2 + c0;
-  * free energy:   full ELBO with digamma/gammaln terms.
-
-State layout: phi_b, phi_c arrays of shape [V, Q] (Q = #phi groups).
+  * phi:    1/b = (k^T Q k + tr(Sigma J^T Q J))/2 + 1/b0,
+            c = (n-1)/2 + c0;
+  * free energy: full ELBO with digamma/gammaln terms.
 """
 
 from typing import NamedTuple
@@ -24,15 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import digamma, gammaln
 
-from ..core.dists import chol_inv_logdet, gamma_mean, gamma_var, gamma_from_mean_var
+from ..core.dists import gamma_mean, gamma_var, gamma_from_mean_var
 from ..exceptions import InvalidOptionValue
+from ..ops import smallmat as sm
 from ..options import OptionSpec, OPT_STR, OPT_FLOAT
 from .base import NoiseModel, register_noise
 
 
 class WhiteNoiseState(NamedTuple):
-    b: jnp.ndarray  # [V, Q]
-    c: jnp.ndarray  # [V, Q]
+    b: jnp.ndarray  # [Q, V]
+    c: jnp.ndarray  # [Q, V]
 
 
 def parse_noise_pattern(pattern, nt):
@@ -82,6 +85,9 @@ class WhiteNoiseModel(NoiseModel):
                 self.qmasks[group_ids[t], t] = 1.0
         self.ntimes_per_group = self.qmasks.sum(axis=1)  # Qi.Trace()
         self.n_unmasked = int(unmasked.sum())
+        # single-group fast path: X = phi * unmasked, so J^T Q J can be
+        # recovered from J^T X J without extra reductions
+        self.single_group = (self.nphis == 1)
 
         self.locked_noise_stdev = options.get_float("locked-noise-stdev", -1.0)
         self.phiprior = options.get_float("prior-noise-stddev", -1.0)
@@ -114,7 +120,7 @@ class WhiteNoiseModel(NoiseModel):
         else:
             prior_c = post_c = 0.5
             prior_b = post_b = 1.0 / (self.phiprior ** 2 * prior_c)
-        shape = (nvoxels, self.nphis)
+        shape = (self.nphis, nvoxels)
         prior = WhiteNoiseState(jnp.full(shape, prior_b, dtype),
                                 jnp.full(shape, prior_c, dtype))
         post = WhiteNoiseState(jnp.full(shape, post_b, dtype),
@@ -122,124 +128,127 @@ class WhiteNoiseModel(NoiseModel):
         return prior, post
 
     def state_to_mvn(self, state):
-        means = gamma_mean(state.b, state.c)
-        var = gamma_var(state.b, state.c)
+        """-> (means [V,Q], cov [V,Q,Q]) for serialization."""
+        means = np.asarray(gamma_mean(state.b, state.c)).T
+        var = np.asarray(gamma_var(state.b, state.c)).T
         v, q = means.shape
-        cov = jnp.zeros((v, q, q), means.dtype)
-        cov = cov.at[:, jnp.arange(q), jnp.arange(q)].set(var)
+        cov = np.zeros((v, q, q), means.dtype)
+        cov[:, np.arange(q), np.arange(q)] = var
         return means, cov
 
     def state_from_mvn(self, means, cov):
-        var = jnp.diagonal(cov, axis1=-2, axis2=-1)
-        b, c = gamma_from_mean_var(means, var)
-        return WhiteNoiseState(b, c)
+        var = np.diagonal(np.asarray(cov), axis1=-2, axis2=-1)
+        b, c = gamma_from_mean_var(np.asarray(means).T, var.T)
+        return WhiteNoiseState(jnp.asarray(b), jnp.asarray(c))
 
-    # -- VB updates (pure, batched) ---------------------------------------
+    # -- VB updates (pure, SoA) -------------------------------------------
     def phi_timepoint_weights(self, state):
-        """X diagonal [V,T]: E[phi] at each unmasked timepoint."""
-        phimeans = gamma_mean(state.b, state.c)  # [V,Q]
+        """X diagonal [T,V]: E[phi] at each unmasked timepoint."""
+        phimeans = gamma_mean(state.b, state.c)  # [Q,V]
         q = jnp.asarray(self.qmasks, state.b.dtype)  # [Q,T]
-        return phimeans @ q  # [V,T]
+        return jnp.einsum("qt,qv->tv", q, phimeans)
 
-    def update_theta(self, noise_post, means, prior_means, prior_prec_diag,
-                     centre, offset, J, data, lm_alpha=None):
-        """Eq 19/20: returns (new_means, prec, cov, ok).
+    def update_theta(self, noise_post, means, prior_means, prior_prec,
+                     centre, offset, jac, data, lm_alpha=None):
+        """Eq 19/20: returns (new_means [P,V], prec, cov [P,P,V], ok [V])."""
+        p = jac.shape[0]
+        x = self.phi_timepoint_weights(noise_post)  # [T,V]
+        jx = jac * x[None]                          # [P,T,V]
+        ltmp = jnp.stack([
+            jnp.stack([jnp.sum(jx[i] * jac[j], axis=0) for j in range(p)])
+            for i in range(p)])                     # [P,P,V]
+        prec = sm.add_diag(ltmp, prior_prec)
+        chol, ok = sm.cholesky_jittered(prec)
+        cov = sm.inverse_from_chol(chol)
 
-        All array args are batched: means/prior_means/centre [V,P],
-        prior_prec_diag [V,P], offset/data [V,T], J [V,T,P].
-        lm_alpha [V] enables the Levenberg-damped variant
-        (noisemodel_white.cc:330-354) on lanes where alpha > 0.
-        """
-        x = self.phi_timepoint_weights(noise_post)  # [V,T]
-        xj = J * x[:, :, None]                      # [V,T,P]
-        ltmp = jnp.einsum("vtp,vtq->vpq", xj, J)
-        prec = ltmp + _batch_diag(prior_prec_diag)
-        cov, _, ok = chol_inv_logdet(prec)
-
-        m_tmp = jnp.einsum("vtp,vt->vp", xj,
-                           data - offset + jnp.einsum("vtp,vp->vt", J, centre))
-        rhs = m_tmp + prior_prec_diag * prior_means
-        new_means = jnp.einsum("vpq,vq->vp", cov, rhs)
+        resid = data - offset + jnp.einsum("ptv,pv->tv", jac, centre)
+        m_tmp = jnp.einsum("ptv,tv->pv", jx, resid)
+        rhs = m_tmp + prior_prec * prior_means
+        # mirror the reference's op order: covariance then multiply
+        new_means = sm.matvec_planes(cov, rhs)
 
         if lm_alpha is not None:
             # Levenberg-Marquardt damped update (Appendix C form)
-            delta = (jnp.einsum("vtp,vt->vp", xj, data - offset)
-                     + prior_prec_diag * prior_means
-                     - prior_prec_diag * centre)
-            precdiag = jnp.diagonal(prec, axis1=-2, axis2=-1)
-            damped = prec + _batch_diag(lm_alpha[:, None] * precdiag)
-            dcov, _, dok = chol_inv_logdet(damped)
-            lm_means = centre + jnp.einsum("vpq,vq->vp", dcov, delta)
+            delta = (jnp.einsum("ptv,tv->pv", jx, data - offset)
+                     + prior_prec * prior_means - prior_prec * centre)
+            damped = sm.add_diag(prec, lm_alpha[None] * sm.diag_of(prec))
+            dchol, dok = sm.cholesky_jittered(damped)
+            lm_means = centre + sm.solve_chol_vec(dchol, delta)
             use_lm = lm_alpha > 0.0
-            new_means = jnp.where(use_lm[:, None], lm_means, new_means)
+            new_means = jnp.where(use_lm[None], lm_means, new_means)
             ok = jnp.where(use_lm, dok, ok)
 
         return new_means, prec, cov, ok
 
-    def update_noise(self, noise_post, noise_prior, means, cov,
-                     centre, offset, J, data):
-        """Eq 21/22 per phi group; returns new WhiteNoiseState."""
-        k = data - offset + jnp.einsum("vtp,vp->vt", J, centre - means)  # [V,T]
+    def _group_quadratics(self, k, cov, jac):
+        """Per phi group: (k^T Q k [V], tr(Sigma J^T Q J) [V]) lists."""
+        p = jac.shape[0]
         dtype = k.dtype
+        kqk, trace = [], []
+        for i in range(self.nphis):
+            qi = jnp.asarray(self.qmasks[i], dtype)[:, None]  # [T,1]
+            kqk.append(jnp.sum(k * k * qi, axis=0))
+            tr = 0.0
+            for a in range(p):
+                for b in range(p):
+                    g_ab = jnp.sum(jac[a] * jac[b] * qi, axis=0)
+                    tr = tr + cov[a, b] * g_ab
+            trace.append(tr)
+        return kqk, trace
+
+    def update_noise(self, noise_post, noise_prior, means, cov,
+                     centre, offset, jac, data):
+        """Eq 21/22 per phi group; returns new WhiteNoiseState."""
+        k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
+        kqk, trace = self._group_quadratics(k, cov, jac)
         new_b, new_c = [], []
         for i in range(self.nphis):
-            qi = jnp.asarray(self.qmasks[i], dtype)  # [T]
-            kqk = jnp.einsum("vt,t,vt->v", k, qi, k)
-            # tr(Sigma J^T Q J)
-            jqj_tr = jnp.einsum("vpq,vtq,t,vtp->v", cov, J, qi, J)
-            tmp = kqk + jqj_tr
-            b = 1.0 / (tmp * 0.5 + 1.0 / noise_prior.b[:, i])
+            tmp = kqk[i] + trace[i]
+            b = 1.0 / (tmp * 0.5 + 1.0 / noise_prior.b[i])
             c = jnp.full_like(b, (self.ntimes_per_group[i] - 1) * 0.5) \
-                + noise_prior.c[:, i]
+                + noise_prior.c[i]
             if self.locked_noise_stdev > 0:
                 b = 1.0 / c / self.locked_noise_stdev ** 2
             new_b.append(b)
             new_c.append(c)
-        return WhiteNoiseState(jnp.stack(new_b, axis=1), jnp.stack(new_c, axis=1))
+        return WhiteNoiseState(jnp.stack(new_b), jnp.stack(new_c))
 
     def free_energy(self, noise_post, noise_prior, means, prec, cov,
-                    prior_means, prior_prec_diag, centre, offset, J, data):
+                    prior_means, prior_prec, centre, offset, jac, data):
         """Full ELBO (noisemodel_white.cc:365-454). Returns F [V]."""
         dtype = means.dtype
-        k = data - offset + jnp.einsum("vtp,vp->vt", J, centre - means)
-        n_theta = means.shape[1]
+        nv = means.shape[1]
+        p = means.shape[0]
+        k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
         n_times = self.n_unmasked
         log2pi = jnp.log(2 * jnp.pi).astype(dtype)
 
-        _, logdet_prec, _ = chol_inv_logdet(prec)
-        exp_log_theta_dist = 0.5 * logdet_prec - 0.5 * n_theta * (log2pi + 1.0)
+        chol, _ = sm.cholesky_jittered(prec)
+        logdet_prec = sm.logdet_from_chol(chol)
+        exp_log_theta_dist = 0.5 * logdet_prec - 0.5 * p * (log2pi + 1.0)
 
-        exp_log_phi_dist = jnp.zeros(means.shape[0], dtype)
+        kqk, trace = self._group_quadratics(k, cov, jac)
+        exp_log_phi_dist = jnp.zeros(nv, dtype)
         part0 = jnp.zeros_like(exp_log_phi_dist)
         part2 = jnp.zeros_like(exp_log_phi_dist)
         part9 = jnp.zeros_like(exp_log_phi_dist)
         for i in range(self.nphis):
-            si, ci = noise_post.b[:, i], noise_post.c[:, i]
-            si0, ci0 = noise_prior.b[:, i], noise_prior.c[:, i]
+            si, ci = noise_post.b[i], noise_post.c[i]
+            si0, ci0 = noise_prior.b[i], noise_prior.c[i]
             dg_ls = digamma(ci) + jnp.log(si)
             exp_log_phi_dist += (-gammaln(ci) - ci * jnp.log(si) - ci
                                  + (ci - 1.0) * dg_ls)
             part0 += dg_ls * (self.ntimes_per_group[i] * 0.5 + ci0 - 1.0)
             part9 += -gammaln(ci0) - ci0 * jnp.log(si0) - si * ci / si0
-            qi = jnp.asarray(self.qmasks[i], dtype)
-            kqk = jnp.einsum("vt,t,vt->v", k, qi, k)
             # NB: the trace term carries no phi weighting, mirroring the
             # reference expression exactly (noisemodel_white.cc:413-417)
-            jqj_tr = jnp.einsum("vtq,t,vtp,vpq->v", J, qi, J, cov)
-            part2 += -0.5 * si * ci * kqk - 0.5 * jqj_tr
+            part2 += -0.5 * si * ci * kqk[i] - 0.5 * trace[i]
 
-        part3 = (0.5 * jnp.sum(jnp.log(prior_prec_diag), axis=1)
-                 - 0.5 * n_times * log2pi - 0.5 * n_theta * log2pi)
+        part3 = (0.5 * jnp.sum(jnp.log(prior_prec), axis=0)
+                 - 0.5 * n_times * log2pi - 0.5 * p * log2pi)
         dm = means - prior_means
-        part4 = -0.5 * jnp.sum(dm * prior_prec_diag * dm, axis=1)
-        part5 = -0.5 * jnp.sum(
-            jnp.diagonal(cov, axis1=-2, axis2=-1) * prior_prec_diag, axis=1)
+        part4 = -0.5 * jnp.sum(dm * prior_prec * dm, axis=0)
+        part5 = -0.5 * jnp.sum(sm.diag_of(cov) * prior_prec, axis=0)
 
         return (-exp_log_theta_dist - exp_log_phi_dist
                 + part0 + part2 + part3 + part4 + part5 + part9)
-
-
-def _batch_diag(d):
-    """[V,P] -> [V,P,P] diagonal matrices."""
-    return jnp.zeros(d.shape + (d.shape[-1],), d.dtype) \
-        .at[..., jnp.arange(d.shape[-1]), jnp.arange(d.shape[-1])].set(d)

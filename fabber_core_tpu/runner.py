@@ -251,18 +251,16 @@ def _save_results(options, model, params, result, engine, data, log):
     save_resid = options.get_bool("save-residuals")
     extras = [k for k in model.outputs() if k]
     if save_fit or save_resid or (extras and options.get_bool("save-model-extras")):
-        fit = np.asarray(engine.linearizer.evaluate(
-            np.asarray(result.means)))
+        means_planes = np.asarray(result.means).T  # [P,V] SoA layout
+        fit = np.asarray(engine.evaluate_model(means_planes)).T  # [V,T]
         if save_fit:
             outputs["modelfit"] = fit
         if save_resid:
             outputs["residuals"] = data - fit
         if options.get_bool("save-model-extras"):
-            from .inference.linearize import Linearizer
             for key in extras:
-                lin = Linearizer(model, params, engine.data, engine.coords,
-                                 engine.suppdata, mode="auto", key=key)
-                outputs[key] = np.asarray(lin.evaluate(np.asarray(result.means)))
+                outputs[key] = np.asarray(
+                    engine.evaluate_model(means_planes, key=key)).T
 
     log.log(f"Saved outputs: {', '.join(sorted(outputs))}")
     return outputs

@@ -272,7 +272,8 @@ class TestSpatialSharded:
         devices = jax.devices()
         assert len(devices) == 8
         mesh = Mesh(np.array(devices), ("v",))
-        sharding = NamedSharding(mesh, P("v"))
+        # SoA layout: voxel axis is last ([T,V])
+        sharding = NamedSharding(mesh, P(None, "v"))
 
         options = RunOptions(dict(opts))
         model = get_model_class("poly")(options)

@@ -15,8 +15,16 @@ Key entry points:
 # The reference pipeline is entirely double-precision (NEWMAT); we keep
 # float64 as the parity default and use explicit float32/bfloat16 dtypes
 # on the TPU fast path.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Some TPU plugins override the JAX_PLATFORMS env var during
+# registration; FABBER_TPU_PLATFORM pins the platform through the
+# config API, which always wins (e.g. =cpu for host-only tooling).
+if _os.environ.get("FABBER_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["FABBER_TPU_PLATFORM"])
 
 from .version import __version__  # noqa: E402,F401

@@ -55,6 +55,8 @@ class NLLSInference:
                        "Use Levenberg-Marquardt damping (default Levenberg)"),
             OptionSpec("nlls-max-iterations", OPT_INT,
                        "Maximum optimizer iterations", default="100"),
+            OptionSpec("fwd-initial-posterior", OPT_STR,
+                       "MVN matrix file with initial parameter estimates"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -102,6 +104,15 @@ class NLLSInference:
                 means[:, i] = spec.post.mean
         means = np.array(self.model.init_posterior(
             self.data.T, jnp.asarray(means)))
+
+        # Optional file-based initial estimates (inference_nlls.cc:75-81)
+        init_file = self.options.get_string("fwd-initial-posterior",
+                                            "modeldefault")
+        if init_file != "modeldefault":
+            from ..io import mvn as mvn_io
+            fmeans, _ = mvn_io.load_matrix(init_file)
+            means = np.broadcast_to(fmeans[None, :], means.shape).copy()
+
         for i, spec in enumerate(self.params):
             means[:, i] = np.asarray(spec.transform.to_latent(
                 jnp.asarray(means[:, i])))

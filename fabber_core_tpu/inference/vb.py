@@ -119,6 +119,14 @@ class VBInference:
                        "(reference-parity finite differences)", default="auto"),
             OptionSpec("save-free-energy-history", OPT_BOOL,
                        "Record free energy at every iteration"),
+            OptionSpec("noise-initial-prior", OPT_STR,
+                       "MVN matrix file for the initial noise prior"),
+            OptionSpec("noise-initial-posterior", OPT_STR,
+                       "MVN matrix file for the initial noise posterior"),
+            OptionSpec("locked-linear-from-mvn", OPT_MVN,
+                       "MVN data containing fixed centres for linearization"),
+            OptionSpec("mcsteps", OPT_INT,
+                       "Number of motion correction steps", default="0"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -163,6 +171,21 @@ class VBInference:
         self.linearizer = Linearizer(model, self.params, self.nt,
                                      mode=lin_mode)
 
+        # Fixed linearization centres (inference_vb.cc:169-179,227-236)
+        self.locked_linear = options.get_string("locked-linear-from-mvn",
+                                                "") != ""
+        self._locked_centres = None
+        if self.locked_linear:
+            from ..io import mvn as mvn_io
+            lmeans, _ = mvn_io.unpack(np.asarray(
+                self._voxel_data("locked-linear-from-mvn")).T)
+            self._locked_centres = jnp.asarray(
+                lmeans[:, :self.nparams].T, self.dtype)
+
+        # Motion correction is parsed but (as in this reference snapshot,
+        # inference_vb.cc:116 with no run_mc caller) not executed
+        self.num_mcsteps = options.get_int("mcsteps", 0)
+
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
@@ -174,7 +197,26 @@ class VBInference:
                            prior_base_means=self.prior_setup.base_means)
 
     def _recentre(self, means, bind):
+        if self.locked_linear:
+            means = self._locked_centres
         return self.linearizer(means, bind.data, bind.coords, bind.supp)
+
+    def _noise_state_from_file(self, key, default_state):
+        """Replace an initial noise dist from an MVN matrix file
+        (inference_vb.cc:132-142). The file holds one MVN applied to
+        every voxel."""
+        filename = self.options.get_string(key, "modeldefault")
+        if filename == "modeldefault":
+            return default_state
+        from ..io import mvn as mvn_io
+        means, cov = mvn_io.load_matrix(filename)
+        means_v = np.broadcast_to(means[None, :],
+                                  (self.nvoxels, len(means)))
+        cov_v = np.broadcast_to(cov[None, :, :],
+                                (self.nvoxels,) + cov.shape)
+        state = self.noise.state_from_mvn(means_v, cov_v)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, self.dtype), state)
 
     def evaluate_model(self, means_planes, key=""):
         """Model prediction [T,V] at latent means [P,V] (for outputs)."""
@@ -223,6 +265,10 @@ class VBInference:
                       continue_noise=None):
         v, p = self.nvoxels, self.nparams
         noise_prior, noise_post = self.noise.initial_state(v, self.dtype)
+        noise_prior = self._noise_state_from_file(
+            "noise-initial-prior", noise_prior)
+        noise_post = self._noise_state_from_file(
+            "noise-initial-posterior", noise_post)
         self.noise_prior = noise_prior
 
         if continue_means is not None:
@@ -284,9 +330,10 @@ class VBInference:
             post.noise, self.noise_prior, means, cov,
             s.centre, s.offset, s.jac, bind.data)
 
-        # 5. Re-linearize about the new posterior means
+        # 5. Re-linearize about the new posterior means (or the fixed
+        #    centres when locked-linear is in force)
         offset, jac = self._recentre(means, bind)
-        centre = means
+        centre = self._locked_centres if self.locked_linear else means
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)

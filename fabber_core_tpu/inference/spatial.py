@@ -226,10 +226,12 @@ class SpatialVBInference(VBInference):
         # theta update (phase A), then noise + relinearize (phase B)
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, bind.data, None)
+            s.centre, s.offset, s.jac, bind.data, None,
+            design=self._design_arg(bind))
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, bind.data)
+            s.centre, s.offset, s.jac, bind.data,
+            design=self._design_arg(bind))
         offset, jac = self._recentre(means, bind)
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
@@ -237,7 +239,8 @@ class SpatialVBInference(VBInference):
         if self.need_f:
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
-                prior_means, prior_prec, means, offset, jac, bind.data)
+                prior_means, prior_prec, means, offset, jac, bind.data,
+                design=self._design_arg(bind))
             f = f + fprior
         else:
             f = s.f

@@ -45,6 +45,7 @@ class RunBindings(NamedTuple):
     coords: Any      # [3,V]
     supp: Any        # [S,V] (S may be 0)
     prior_base_means: Any  # [P,V] or [P,1]
+    design: Any = ()  # [T,P] fixed design matrix, when the fast path is on
     neigh: Any = ()   # spatial mode: [V,6]
     neigh2: Any = ()  # spatial mode: [V,30]
 
@@ -171,6 +172,17 @@ class VBInference:
         self.linearizer = Linearizer(model, self.params, self.nt,
                                      mode=lin_mode)
 
+        # Constant-Jacobian fast path: for models that are linear in
+        # their (untransformed) parameters the [P,T,V] Jacobian is never
+        # materialized; the T-contractions become large MXU matmuls.
+        self.design = None
+        if (getattr(self.noise, "supports_fixed_design", False)
+                and lin_mode == "auto"
+                and all(pm.transform.is_identity for pm in self.params)):
+            d = model.fixed_design(self.nt)
+            if d is not None:
+                self.design = jnp.asarray(d, self.dtype)
+
         # Fixed linearization centres (inference_vb.cc:169-179,227-236)
         self.locked_linear = options.get_string("locked-linear-from-mvn",
                                                 "") != ""
@@ -194,12 +206,19 @@ class VBInference:
         supp = self.suppdata if self.suppdata is not None \
             else jnp.zeros((0, self.nvoxels), self.dtype)
         return RunBindings(data=self.data, coords=self.coords, supp=supp,
-                           prior_base_means=self.prior_setup.base_means)
+                           prior_base_means=self.prior_setup.base_means,
+                           design=self.design if self.design is not None
+                           else ())
 
     def _recentre(self, means, bind):
         if self.locked_linear:
             means = self._locked_centres
+        if self.design is not None:
+            return bind.design @ means, ()
         return self.linearizer(means, bind.data, bind.coords, bind.supp)
+
+    def _design_arg(self, bind):
+        return bind.design if self.design is not None else None
 
     def _noise_state_from_file(self, key, default_state):
         """Replace an initial noise dist from an MVN matrix file
@@ -225,6 +244,8 @@ class VBInference:
             lin = Linearizer(self.model, self.params, self.nt, key=key)
             return lin.evaluate(jnp.asarray(means_planes, self.dtype),
                                 bind.data, bind.coords, bind.supp)
+        if self.design is not None:
+            return self.design @ jnp.asarray(means_planes, self.dtype)
         return self.linearizer.evaluate(
             jnp.asarray(means_planes, self.dtype),
             bind.data, bind.coords, bind.supp)
@@ -323,12 +344,14 @@ class VBInference:
         lm_alpha = s.conv.alpha if self.is_lm else None
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, bind.data, lm_alpha)
+            s.centre, s.offset, s.jac, bind.data, lm_alpha,
+            design=self._design_arg(bind))
 
         # 4. Noise update (Eq 21/22)
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, bind.data)
+            s.centre, s.offset, s.jac, bind.data,
+            design=self._design_arg(bind))
 
         # 5. Re-linearize about the new posterior means (or the fixed
         #    centres when locked-linear is in force)
@@ -343,7 +366,8 @@ class VBInference:
         if self.need_f:
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
-                prior_means, prior_prec, centre, offset, jac, bind.data)
+                prior_means, prior_prec, centre, offset, jac, bind.data,
+                design=self._design_arg(bind))
             f = f + fprior
         else:
             f = s.f
@@ -396,7 +420,7 @@ class VBInference:
             f_rev = self.noise.free_energy(
                 post.noise, self.noise_prior, post.means, post.prec, post.cov,
                 post.prior_means, post.prior_prec, post.means, offset, jac,
-                bind.data) + s.fprior
+                bind.data, design=self._design_arg(bind)) + s.fprior
             f = jnp.where(s.conv.revert, f_rev, s.f)
         else:
             f = s.f

@@ -109,6 +109,15 @@ class Model:
         """
         return means
 
+    def fixed_design(self, nt):
+        """If the model is linear in its parameters with a
+        voxel-independent Jacobian, return the [T,P] design matrix;
+        else None. Enables the engine's constant-Jacobian fast path
+        (no per-voxel Jacobian is ever materialized and the
+        T-contractions become large matmuls on the MXU).
+        """
+        return None
+
 
 # -- registry -------------------------------------------------------------
 

@@ -49,3 +49,6 @@ class LinearModel(Model):
 
     def evaluate(self, params, ctx, key=""):
         return self.design.astype(params.dtype) @ params
+
+    def fixed_design(self, nt):
+        return self.design

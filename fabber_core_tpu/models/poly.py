@@ -39,3 +39,7 @@ class PolynomialModel(Model):
         t = jnp.arange(1, ctx.nt + 1, dtype=params.dtype)
         powers = t[:, None] ** jnp.arange(self.degree + 1, dtype=params.dtype)[None, :]
         return powers @ params
+
+    def fixed_design(self, nt):
+        t = jnp.arange(1, nt + 1, dtype=jnp.float64)
+        return t[:, None] ** jnp.arange(self.degree + 1, dtype=jnp.float64)[None, :]

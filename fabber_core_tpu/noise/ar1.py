@@ -259,7 +259,7 @@ class Ar1NoiseModel(NoiseModel):
 
     # -- VB updates --------------------------------------------------------
     def update_theta(self, noise_post, means, prior_means, prior_prec,
-                     centre, offset, jac, data, lm_alpha=None):
+                     centre, offset, jac, data, lm_alpha=None, design=None):
         """Eq 19/20 with X = sum_n E[phi_n] Q_n (noisemodel_ar.cc:558-634).
         The LM variant is not defined for AR noise (the reference
         ignores LMalpha here too)."""
@@ -284,7 +284,7 @@ class Ar1NoiseModel(NoiseModel):
         return new_means, prec, cov, ok
 
     def update_noise(self, noise_post, noise_prior, means, cov,
-                     centre, offset, jac, data):
+                     centre, offset, jac, data, design=None):
         """UpdateAlpha then UpdatePhi (noisemodel_ar.cc:405-556)."""
         k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
         si_ci = gamma_mean(noise_post.b, noise_post.c)
@@ -347,7 +347,8 @@ class Ar1NoiseModel(NoiseModel):
         return new_alpha._replace(b=jnp.stack(new_b), c=jnp.stack(new_c))
 
     def free_energy(self, noise_post, noise_prior, means, prec, cov,
-                    prior_means, prior_prec, centre, offset, jac, data):
+                    prior_means, prior_prec, centre, offset, jac, data,
+                    design=None):
         """Full ELBO, translated from the reference's NPINTS port
         (noisemodel_ar.cc:643-747)."""
         dtype = means.dtype

@@ -69,6 +69,7 @@ def parse_noise_pattern(pattern, nt):
 @register_noise
 class WhiteNoiseModel(NoiseModel):
     name = "white"
+    supports_fixed_design = True
 
     def __init__(self, options, nt, masked_tpoints=()):
         super().__init__(options, nt, masked_tpoints)
@@ -149,28 +150,46 @@ class WhiteNoiseModel(NoiseModel):
         return jnp.einsum("qt,qv->tv", q, phimeans)
 
     def update_theta(self, noise_post, means, prior_means, prior_prec,
-                     centre, offset, jac, data, lm_alpha=None):
-        """Eq 19/20: returns (new_means [P,V], prec, cov [P,P,V], ok [V])."""
-        p = jac.shape[0]
+                     centre, offset, jac, data, lm_alpha=None, design=None):
+        """Eq 19/20: returns (new_means [P,V], prec, cov [P,P,V], ok [V]).
+
+        Two routes to the same arithmetic:
+          * generic: per-voxel Jacobian planes jac [P,T,V];
+          * fixed-design (design [T,P], jac unused): the T-contractions
+            become single [P^2,T] @ [T,V] matmuls on the MXU and the
+            Jacobian never materializes per voxel.
+        """
         x = self.phi_timepoint_weights(noise_post)  # [T,V]
-        jx = jac * x[None]                          # [P,T,V]
-        ltmp = jnp.stack([
-            jnp.stack([jnp.sum(jx[i] * jac[j], axis=0) for j in range(p)])
-            for i in range(p)])                     # [P,P,V]
+        if design is not None:
+            p = design.shape[1]
+            ltmp_flat = jnp.einsum("tp,tq,tv->pqv", design, design, x,
+                                   optimize=True)
+            ltmp = ltmp_flat
+            resid = data - offset + design @ centre
+            m_tmp = design.T @ (x * resid)
+        else:
+            p = jac.shape[0]
+            jx = jac * x[None]                          # [P,T,V]
+            ltmp = jnp.stack([
+                jnp.stack([jnp.sum(jx[i] * jac[j], axis=0) for j in range(p)])
+                for i in range(p)])                     # [P,P,V]
+            resid = data - offset + jnp.einsum("ptv,pv->tv", jac, centre)
+            m_tmp = jnp.einsum("ptv,tv->pv", jx, resid)
+
         prec = sm.add_diag(ltmp, prior_prec)
         chol, ok = sm.cholesky_jittered(prec)
         cov = sm.inverse_from_chol(chol)
-
-        resid = data - offset + jnp.einsum("ptv,pv->tv", jac, centre)
-        m_tmp = jnp.einsum("ptv,tv->pv", jx, resid)
         rhs = m_tmp + prior_prec * prior_means
         # mirror the reference's op order: covariance then multiply
         new_means = sm.matvec_planes(cov, rhs)
 
         if lm_alpha is not None:
             # Levenberg-Marquardt damped update (Appendix C form)
-            delta = (jnp.einsum("ptv,tv->pv", jx, data - offset)
-                     + prior_prec * prior_means - prior_prec * centre)
+            if design is not None:
+                jxr = design.T @ (x * (data - offset))
+            else:
+                jxr = jnp.einsum("ptv,tv->pv", jx, data - offset)
+            delta = jxr + prior_prec * prior_means - prior_prec * centre
             damped = sm.add_diag(prec, lm_alpha[None] * sm.diag_of(prec))
             dchol, dok = sm.cholesky_jittered(damped)
             lm_means = centre + sm.solve_chol_vec(dchol, delta)
@@ -180,27 +199,39 @@ class WhiteNoiseModel(NoiseModel):
 
         return new_means, prec, cov, ok
 
-    def _group_quadratics(self, k, cov, jac):
+    def _group_quadratics(self, k, cov, jac, design=None):
         """Per phi group: (k^T Q k [V], tr(Sigma J^T Q J) [V]) lists."""
-        p = jac.shape[0]
         dtype = k.dtype
         kqk, trace = [], []
         for i in range(self.nphis):
             qi = jnp.asarray(self.qmasks[i], dtype)[:, None]  # [T,1]
             kqk.append(jnp.sum(k * k * qi, axis=0))
             tr = 0.0
-            for a in range(p):
-                for b in range(p):
-                    g_ab = jnp.sum(jac[a] * jac[b] * qi, axis=0)
-                    tr = tr + cov[a, b] * g_ab
+            if design is not None:
+                # G_i = J' Q_i J is a constant [P,P]; the trace needs no
+                # T reduction at all
+                g = jnp.einsum("tp,tq->pq", design * qi, design)
+                p = design.shape[1]
+                for a in range(p):
+                    for b in range(p):
+                        tr = tr + g[a, b] * cov[a, b]
+            else:
+                p = jac.shape[0]
+                for a in range(p):
+                    for b in range(p):
+                        g_ab = jnp.sum(jac[a] * jac[b] * qi, axis=0)
+                        tr = tr + cov[a, b] * g_ab
             trace.append(tr)
         return kqk, trace
 
     def update_noise(self, noise_post, noise_prior, means, cov,
-                     centre, offset, jac, data):
+                     centre, offset, jac, data, design=None):
         """Eq 21/22 per phi group; returns new WhiteNoiseState."""
-        k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
-        kqk, trace = self._group_quadratics(k, cov, jac)
+        if design is not None:
+            k = data - offset + design @ (centre - means)
+        else:
+            k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
+        kqk, trace = self._group_quadratics(k, cov, jac, design)
         new_b, new_c = [], []
         for i in range(self.nphis):
             tmp = kqk[i] + trace[i]
@@ -214,12 +245,16 @@ class WhiteNoiseModel(NoiseModel):
         return WhiteNoiseState(jnp.stack(new_b), jnp.stack(new_c))
 
     def free_energy(self, noise_post, noise_prior, means, prec, cov,
-                    prior_means, prior_prec, centre, offset, jac, data):
+                    prior_means, prior_prec, centre, offset, jac, data,
+                    design=None):
         """Full ELBO (noisemodel_white.cc:365-454). Returns F [V]."""
         dtype = means.dtype
         nv = means.shape[1]
         p = means.shape[0]
-        k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
+        if design is not None:
+            k = data - offset + design @ (centre - means)
+        else:
+            k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
         n_times = self.n_unmasked
         log2pi = jnp.log(2 * jnp.pi).astype(dtype)
 
@@ -227,7 +262,7 @@ class WhiteNoiseModel(NoiseModel):
         logdet_prec = sm.logdet_from_chol(chol)
         exp_log_theta_dist = 0.5 * logdet_prec - 0.5 * p * (log2pi + 1.0)
 
-        kqk, trace = self._group_quadratics(k, cov, jac)
+        kqk, trace = self._group_quadratics(k, cov, jac, design)
         exp_log_phi_dist = jnp.zeros(nv, dtype)
         part0 = jnp.zeros_like(exp_log_phi_dist)
         part2 = jnp.zeros_like(exp_log_phi_dist)

@@ -6,6 +6,11 @@ on a poly/linear-sized problem with the shipped test data's dimensions
 serial C++ loop manages order 1e5 voxels/s; the target is >=1e6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  FABBER_BENCH_VOXELS  batch size (default 1_000_000)
+  FABBER_BENCH_CONFIG  poly (default) | biexp | ar1 | spatial
+                       (the BASELINE.json config family)
 """
 
 import json
@@ -18,39 +23,62 @@ import numpy as np
 REFERENCE_VOXELS_PER_SEC = 1e5  # implied C++ throughput (BASELINE.md)
 
 
-def main():
+def build_engine(config, nv):
     import jax
     import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fabber_core_tpu.options import RunOptions
     from fabber_core_tpu.models import get_model_class
     from fabber_core_tpu.inference.vb import VBInference
 
-    nv = int(os.environ.get("FABBER_BENCH_VOXELS", 1_000_000))
-    nt = 106          # shipped test data length
-    degree = 2        # poly deg-2: the outdata_poly configuration
-    iters = 10        # default maxits budget
-
-    # Generate the phantom on device to avoid host->device transfer of
-    # the volume through the tunnel.
-    t = jnp.arange(1, nt + 1, dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
-    c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
-    c1 = jax.random.uniform(k2, (nv, 1), minval=-0.1, maxval=0.1)
-    data = (c0 + c1 * t[None, :]
-            + 0.1 * jax.random.normal(k3, (nv, nt))).astype(jnp.float32)
+    iters = 10
+
+    if config == "poly":
+        nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
+        t = jnp.arange(1, nt + 1, dtype=jnp.float32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
+        c1 = jax.random.uniform(k2, (nv, 1), minval=-0.1, maxval=0.1)
+        data = (c0 + c1 * t[None, :]
+                + 0.1 * jax.random.normal(k3, (nv, nt))).astype(jnp.float32)
+    elif config == "biexp":
+        nt, opts = 100, {"model": "biexp", "dt": "0.02", "noise": "white"}
+        t = jnp.arange(nt, dtype=jnp.float32) * 0.02
+        k1, k2 = jax.random.split(key)
+        amp = jax.random.uniform(k1, (nv, 1), minval=0.5, maxval=1.5)
+        data = (amp * jnp.exp(-t)[None, :] + 0.5 * amp * jnp.exp(-5 * t)[None, :]
+                + 0.05 * jax.random.normal(k2, (nv, nt))).astype(jnp.float32)
+    elif config == "ar1":
+        nt, opts = 106, {"model": "poly", "degree": "2", "noise": "ar",
+                         "num-echoes": "1"}
+        t = jnp.arange(1, nt + 1, dtype=jnp.float32)
+        k1, k2 = jax.random.split(key)
+        c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
+        data = (c0 + 0.01 * t[None, :]
+                + 0.1 * jax.random.normal(k2, (nv, nt))).astype(jnp.float32)
+    else:
+        raise ValueError(f"Unknown config {config}")
+
     data = jax.block_until_ready(data)
     coords = np.stack([np.arange(nv) % 256, (np.arange(nv) // 256) % 256,
                        np.arange(nv) // 65536], 1).astype(np.float32)
+    options = RunOptions({**opts, "max-iterations": str(iters),
+                          "dtype": "single"})
+    model = get_model_class(options.get_string("model"))(options)
+    eng = VBInference(model, options, data, coords)
+    return eng, iters
 
-    opts = RunOptions({"model": "poly", "degree": str(degree),
-                       "noise": "white", "max-iterations": str(iters),
-                       "dtype": "single"})
-    model = get_model_class("poly")(opts)
-    eng = VBInference(model, opts, data, coords)
 
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    nv = int(os.environ.get("FABBER_BENCH_VOXELS", 1_000_000))
+    config = os.environ.get("FABBER_BENCH_CONFIG", "poly")
+    nt_label = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
+                "ar1": "T=106, P=3 + AR(1)"}[config]
+
+    eng, iters = build_engine(config, nv)
     loop = eng.compiled_loop()
     bind = eng._bind()
     s0 = jax.block_until_ready(eng.initial_state())
@@ -66,7 +94,7 @@ def main():
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = run_once()
+    run_once()
     elapsed = time.perf_counter() - t0
 
     voxels_per_sec = nv / elapsed
@@ -77,9 +105,9 @@ def main():
         "vs_baseline": round(voxels_per_sec / REFERENCE_VOXELS_PER_SEC, 2),
     }
     print(json.dumps(result))
-    print(f"# {nv} voxels x {iters} VB iterations (T={nt}, P={degree + 1}) "
-          f"in {elapsed:.3f}s wall (compile {compile_time:.1f}s) on "
-          f"{jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# config={config}: {nv} voxels x {iters} VB iterations "
+          f"({nt_label}) in {elapsed:.3f}s wall (compile {compile_time:.1f}s) "
+          f"on {jax.devices()[0].platform}", file=sys.stderr)
 
 
 if __name__ == "__main__":

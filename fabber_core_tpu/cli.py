@@ -223,7 +223,16 @@ def _run(options):
                 options.set(key, "")
     options.set("dump-param-names", "")
 
-    result = runner.run(options, store, log=log, progress_cb=progress)
+    # Optional device-level profiling (jax.profiler trace, viewable in
+    # TensorBoard/XProf) — the observability tier the reference lacked
+    profile_dir = options.get_string("profile-dir", "")
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            result = runner.run(options, store, log=log, progress_cb=progress)
+        log.log(f"Profiler trace written to {profile_dir}")
+    else:
+        result = runner.run(options, store, log=log, progress_cb=progress)
     if not simple_output:
         print()
 
@@ -243,6 +252,13 @@ def _run(options):
         log.log(f"Saved {key}.nii.gz")
 
     logfile.close()
+    if options.get_bool("gzip-log"):
+        # compress the logfile on normal exit (fabber_core.cc:283-313)
+        import gzip as _gzip
+        with open(logpath, "rb") as fin, \
+                _gzip.open(logpath + ".gz", "wb") as fout:
+            fout.write(fin.read())
+        os.remove(logpath)
     if not simple_output:
         print(f"Output in {outdir}")
     return 0

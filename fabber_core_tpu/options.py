@@ -85,6 +85,10 @@ GLOBAL_OPTIONS = [
     OptionSpec("optfile", OPT_FILE, "File of additional options"),
     OptionSpec("debug", OPT_BOOL, "Verbose numerical debug output"),
     OptionSpec("dtype", OPT_STR, "Compute precision: double|single", default="double"),
+    OptionSpec("gzip-log", OPT_BOOL, "Compress the logfile on normal exit"),
+    OptionSpec("profile-dir", OPT_STR, "Write a jax.profiler device trace here"),
+    OptionSpec("no-compat-output", OPT_BOOL,
+               "Disable the backwards-compatible default output set"),
 ]
 
 

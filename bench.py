@@ -80,11 +80,20 @@ def main():
 
     eng, iters = build_engine(config, nv)
     loop = eng.compiled_loop()
-    bind = eng._bind()
-    s0 = jax.block_until_ready(eng.initial_state())
+    chunk = min(eng._chunk_size(), nv)
+    windows = [(lo, min(lo + chunk, nv)) for lo in range(0, nv, chunk)]
+    # fixed-size windows (the engine's chunked-run convention)
+    windows = [(hi - chunk, hi) if hi - lo < chunk else (lo, hi)
+               for lo, hi in windows]
+    if len(windows) > 1:
+        print(f"# chunked into {len(windows)} x {chunk} voxels",
+              file=sys.stderr)
 
     def run_once():
-        final, _ = loop(s0, bind)
+        final = None
+        for lo, hi in windows:
+            s0 = eng.initial_state(lo=lo, hi=hi)
+            final, _ = loop(s0, eng._bind(lo, hi))
         jax.block_until_ready(final.post.means)
         return final
 

@@ -125,6 +125,9 @@ class VoxelDataStore:
         if not parts:
             raise DataNotFound("data", "No main voxel data supplied")
         order = options.get_string("data-order", "interleave")
+        if order not in ("interleave", "concatenate"):
+            raise FabberError(f"data-order must be interleave or concatenate, "
+                              f"got '{order}'")
         if len(parts) == 1:
             combined = parts[0]
         elif order == "concatenate":

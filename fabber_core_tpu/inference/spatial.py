@@ -100,8 +100,10 @@ class SpatialVBInference(VBInference):
         self.neigh = jnp.asarray(neigh)
         self.neigh2 = jnp.asarray(neigh2)
 
-    def _bind(self):
-        return super()._bind()._replace(neigh=self.neigh, neigh2=self.neigh2)
+    def _bind(self, lo=0, hi=None):
+        # spatial mode never chunks (MRF coupling needs the full graph)
+        return super()._bind(lo, hi)._replace(neigh=self.neigh,
+                                              neigh2=self.neigh2)
 
     # -- spatial prior math ----------------------------------------------
     def _gather_sum(self, values, idx, active):

@@ -22,6 +22,7 @@ iteration (inference_vb.cc:468-495) but only the post-ReCentre value
 feeds the convergence test or outputs, so we compute it once.
 """
 
+import os as _os
 from typing import Any, NamedTuple
 
 import jax
@@ -46,6 +47,7 @@ class RunBindings(NamedTuple):
     supp: Any        # [S,V] (S may be 0)
     prior_base_means: Any  # [P,V] or [P,1]
     design: Any = ()  # [T,P] fixed design matrix, when the fast path is on
+    locked_centres: Any = ()  # [P,V] fixed linearization centres
     neigh: Any = ()   # spatial mode: [V,6]
     neigh2: Any = ()  # spatial mode: [V,30]
 
@@ -81,6 +83,23 @@ class VBResult(NamedTuple):
     fhistory: np.ndarray     # [iters,V] or None
     iterations: np.ndarray   # [V]
     bad_voxels: np.ndarray   # [V] bool
+
+
+def _concat_results(results):
+    """Concatenate per-chunk VBResults along the voxel axis."""
+    def cat(field):
+        vals = [getattr(r, field) for r in results]
+        if vals[0] is None:
+            return None
+        if field == "fhistory":
+            # chunks may have converged in different iteration counts;
+            # pad shorter histories by repeating their final row
+            rows = max(v.shape[0] for v in vals)
+            vals = [np.concatenate([v] + [v[-1:]] * (rows - v.shape[0]))
+                    if v.shape[0] < rows else v for v in vals]
+            return np.concatenate(vals, axis=1)
+        return np.concatenate(vals, axis=0)
+    return VBResult(**{f: cat(f) for f in VBResult._fields})
 
 
 def _lane_where(mask, new, old):
@@ -128,6 +147,10 @@ class VBInference:
                        "MVN data containing fixed centres for linearization"),
             OptionSpec("mcsteps", OPT_INT,
                        "Number of motion correction steps", default="0"),
+            OptionSpec("voxel-chunk-size", OPT_INT,
+                       "Voxels per device pass (0 = auto from memory "
+                       "budget; bounds device memory at any volume size)",
+                       default="0"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -202,17 +225,25 @@ class VBInference:
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
 
-    def _bind(self):
-        supp = self.suppdata if self.suppdata is not None \
-            else jnp.zeros((0, self.nvoxels), self.dtype)
-        return RunBindings(data=self.data, coords=self.coords, supp=supp,
-                           prior_base_means=self.prior_setup.base_means,
-                           design=self.design if self.design is not None
-                           else ())
+    def _bind(self, lo=0, hi=None):
+        """Per-run (optionally per-voxel-chunk) device array bundle."""
+        hi = self.nvoxels if hi is None else hi
+        sl = slice(lo, hi)
+        supp = self.suppdata[:, sl] if self.suppdata is not None \
+            else jnp.zeros((0, hi - lo), self.dtype)
+        base = self.prior_setup.base_means
+        if base.shape[-1] == self.nvoxels:
+            base = base[:, sl]
+        return RunBindings(
+            data=self.data[:, sl], coords=self.coords[:, sl], supp=supp,
+            prior_base_means=base,
+            design=self.design if self.design is not None else (),
+            locked_centres=self._locked_centres[:, sl]
+            if self._locked_centres is not None else ())
 
     def _recentre(self, means, bind):
         if self.locked_linear:
-            means = self._locked_centres
+            means = bind.locked_centres
         if self.design is not None:
             return bind.design @ means, ()
         return self.linearizer(means, bind.data, bind.coords, bind.supp)
@@ -220,7 +251,7 @@ class VBInference:
     def _design_arg(self, bind):
         return bind.design if self.design is not None else None
 
-    def _noise_state_from_file(self, key, default_state):
+    def _noise_state_from_file(self, key, default_state, nvox):
         """Replace an initial noise dist from an MVN matrix file
         (inference_vb.cc:132-142). The file holds one MVN applied to
         every voxel."""
@@ -229,10 +260,8 @@ class VBInference:
             return default_state
         from ..io import mvn as mvn_io
         means, cov = mvn_io.load_matrix(filename)
-        means_v = np.broadcast_to(means[None, :],
-                                  (self.nvoxels, len(means)))
-        cov_v = np.broadcast_to(cov[None, :, :],
-                                (self.nvoxels,) + cov.shape)
+        means_v = np.broadcast_to(means[None, :], (nvox, len(means)))
+        cov_v = np.broadcast_to(cov[None, :, :], (nvox,) + cov.shape)
         state = self.noise.state_from_mvn(means_v, cov_v)
         return jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, self.dtype), state)
@@ -251,25 +280,27 @@ class VBInference:
             bind.data, bind.coords, bind.supp)
 
     # -- initial state ----------------------------------------------------
-    def initial_posterior(self):
+    def initial_posterior(self, lo=0, hi=None):
         """Build latent-space initial posterior (fwdmodel.cc:284-313).
         Returns means [P,V], prec [P,P,V], cov [P,P,V].
 
         Built on device: only per-parameter scalars (and image-prior
         planes, when present) come from the host.
         """
-        v, p = self.nvoxels, self.nparams
+        hi = self.nvoxels if hi is None else hi
+        v, p = hi - lo, self.nparams
         cols = []
         for spec in self.params:
             if spec.prior_type == PRIOR_IMAGE:
                 img = np.asarray(self._voxel_data(spec.options["image"]))
-                cols.append(jnp.asarray(img.reshape(v, -1)[:, 0], self.dtype))
+                cols.append(jnp.asarray(
+                    img.reshape(self.nvoxels, -1)[lo:hi, 0], self.dtype))
             else:
                 cols.append(jnp.full((v,), spec.post.mean, self.dtype))
         means_vox = jnp.stack(cols, axis=1)  # [V,P] model space
 
         # voxelwise model init hook (model space, voxel-major API)
-        means_vox = self.model.init_posterior(self.data.T, means_vox)
+        means_vox = self.model.init_posterior(self.data[:, lo:hi].T, means_vox)
 
         # transform to latent space, building SoA planes
         lmeans, lvars = [], []
@@ -283,33 +314,38 @@ class VBInference:
         return lmeans, sm.diag_planes(1.0 / lvars), sm.diag_planes(lvars)
 
     def initial_state(self, continue_means=None, continue_cov=None,
-                      continue_noise=None):
-        v, p = self.nvoxels, self.nparams
+                      continue_noise=None, lo=0, hi=None):
+        hi = self.nvoxels if hi is None else hi
+        v, p = hi - lo, self.nparams
         noise_prior, noise_post = self.noise.initial_state(v, self.dtype)
+        # the prior is voxel-uniform ([.,1] planes) and broadcast inside
+        # the updates; chunking never needs to slice it
         noise_prior = self._noise_state_from_file(
-            "noise-initial-prior", noise_prior)
+            "noise-initial-prior", noise_prior, 1)
         noise_post = self._noise_state_from_file(
-            "noise-initial-posterior", noise_post)
+            "noise-initial-posterior", noise_post, v)
         self.noise_prior = noise_prior
 
         if continue_means is not None:
             # voxel-major [V,P] / [V,P,P] in, SoA planes internally
-            means = jnp.asarray(continue_means, self.dtype).T
-            cov = jnp.moveaxis(jnp.asarray(continue_cov, self.dtype), 0, -1)
+            means = jnp.asarray(continue_means[lo:hi], self.dtype).T
+            cov = jnp.moveaxis(
+                jnp.asarray(continue_cov[lo:hi], self.dtype), 0, -1)
             chol, _ = sm.cholesky_jittered(cov)
             prec = sm.inverse_from_chol(chol)
             if continue_noise is not None:
                 noise_post = jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(x, self.dtype), continue_noise)
+                    lambda x: jnp.asarray(x[..., lo:hi], self.dtype),
+                    continue_noise)
         else:
-            means, prec, cov = self.initial_posterior()
+            means, prec, cov = self.initial_posterior(lo, hi)
 
         # Initial prior: identity precision, zero mean; real values are
         # written by the prior sweep inside iteration 0.
         prior_means = jnp.zeros((p, v), self.dtype)
         prior_prec = jnp.ones((p, v), self.dtype)
 
-        offset, jac = self._recentre(means, self._bind())
+        offset, jac = self._recentre(means, self._bind(lo, hi))
 
         post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                               noise_post)
@@ -405,10 +441,61 @@ class VBInference:
 
         return loop
 
+    def _chunk_size(self):
+        """Voxels per device pass. 0 = auto from a memory budget.
+
+        Chunking bounds device memory at any volume size: each chunk
+        runs the same compiled loop (identical shapes, one trace).
+        Voxelwise VB has no cross-voxel coupling so results are
+        unchanged; the spatial engine never chunks.
+        """
+        explicit = self.options.get_int("voxel-chunk-size", 0)
+        if explicit > 0:
+            return explicit
+        item = jnp.dtype(self.dtype).itemsize
+        p, t = self.nparams, self.nt
+        # state+best (x2 for while-loop double buffering)
+        per_vox = 4 * (3 * p * p + 8 * p + 24) * item
+        # loop temporaries: [T,V]-sized planes; generic path also
+        # carries the [P,T,V] Jacobian and autodiff intermediates
+        per_vox += t * (6 if self.design is not None else 8 * (p + 1)) * item
+        budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+        return max(16384, int(budget / per_vox))
+
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
-        s0 = self.initial_state(continue_means, continue_cov, continue_noise)
-        final, result = self.compiled_loop()(s0, self._bind())
-        return self._to_result(final, result)
+        chunk = self._chunk_size()
+        loop = self.compiled_loop()
+        if chunk >= self.nvoxels:
+            s0 = self.initial_state(continue_means, continue_cov,
+                                    continue_noise)
+            final, result = loop(s0, self._bind())
+            return self._to_result(final, result)
+
+        # chunked execution: fixed-size windows; the final window is
+        # slid back to end exactly at V (some voxels recomputed, which
+        # is correct and avoids padding)
+        results = []
+        lo = 0
+        while lo < self.nvoxels:
+            hi = lo + chunk
+            take_from = 0
+            if hi > self.nvoxels:
+                take_from = hi - self.nvoxels
+                lo, hi = self.nvoxels - chunk, self.nvoxels
+            s0 = self.initial_state(continue_means, continue_cov,
+                                    continue_noise, lo=lo, hi=hi)
+            final, result = loop(s0, self._bind(lo, hi))
+            res = self._to_result(final, result)
+            if take_from:
+                res = jax.tree_util.tree_map(
+                    lambda x: x[..., take_from:] if (
+                        hasattr(x, "ndim") and x.ndim >= 1
+                        and x.shape[-1] == chunk) else (
+                        x[take_from:] if hasattr(x, "ndim") and x.ndim >= 1
+                        and x.shape[0] == chunk else x), res)
+            results.append(res)
+            lo = hi
+        return _concat_results(results)
 
     def _finalize(self, s, bind):
         """Post-loop save/revert (inference_vb.cc:505-525)."""

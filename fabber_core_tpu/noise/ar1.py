@@ -151,13 +151,14 @@ class Ar1NoiseModel(NoiseModel):
         def tile(x, like):
             return jnp.asarray(np.broadcast_to(x, like).copy(), dtype)
 
-        alpha_means = jnp.zeros((a, v), dtype)
+        # voxel-uniform prior: singleton voxel axis (broadcasts)
         prior = Ar1NoiseState(
-            alpha_means=alpha_means,
-            alpha_prec=tile(eye * 1e-4, (a, a, v)),
-            alpha_cov=tile(eye * 1e4, (a, a, v)),
-            b=jnp.full((q, v), 1e6, dtype),
-            c=jnp.full((q, v), 1e-6, dtype))
+            alpha_means=jnp.zeros((a, 1), dtype),
+            alpha_prec=tile(eye * 1e-4, (a, a, 1)),
+            alpha_cov=tile(eye * 1e4, (a, a, 1)),
+            b=jnp.full((q, 1), 1e6, dtype),
+            c=jnp.full((q, 1), 1e-6, dtype))
+        alpha_means = jnp.zeros((a, v), dtype)
         # posterior phi_c starts at prior_c + (nTimes-1)/2 so the first
         # phi update doesn't cause an artificial F drop
         post = Ar1NoiseState(
@@ -299,7 +300,10 @@ class Ar1NoiseModel(NoiseModel):
                                 + self._trace_form(cov, self._jmj(jac, spec)))
 
         # -- alpha precision update (noisemodel_ar.cc:466-500)
-        aprec = noise_prior.alpha_prec
+        nv = means.shape[1]
+        aprec = jnp.broadcast_to(
+            noise_prior.alpha_prec,
+            noise_prior.alpha_prec.shape[:2] + (nv,))
         for n in range(1, self.nphis + 1):
             aprec = aprec.at[n - 1, n - 1].add(
                 si_ci[n - 1] * op[(n, (2, 0))])
@@ -316,8 +320,9 @@ class Ar1NoiseModel(NoiseModel):
         acov = sm.inverse_from_chol(achol)
 
         # -- alpha means update (noisemodel_ar.cc:501-513)
-        tmp = sm.matvec_planes(noise_prior.alpha_prec,
-                               noise_prior.alpha_means)
+        tmp = jnp.broadcast_to(
+            sm.matvec_planes(noise_prior.alpha_prec,
+                             noise_prior.alpha_means), (a, nv))
         for n in range(1, self.nphis + 1):
             tmp = tmp.at[n - 1].add(-0.5 * si_ci[n - 1] * op[(n, (1, 0))])
         if a > 2:

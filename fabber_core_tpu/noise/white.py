@@ -121,9 +121,12 @@ class WhiteNoiseModel(NoiseModel):
         else:
             prior_c = post_c = 0.5
             prior_b = post_b = 1.0 / (self.phiprior ** 2 * prior_c)
+        # The prior is voxel-uniform: a singleton voxel axis broadcasts
+        # against [Q,V] posterior planes and keeps it out of compiled
+        # constants regardless of volume size.
+        prior = WhiteNoiseState(jnp.full((self.nphis, 1), prior_b, dtype),
+                                jnp.full((self.nphis, 1), prior_c, dtype))
         shape = (self.nphis, nvoxels)
-        prior = WhiteNoiseState(jnp.full(shape, prior_b, dtype),
-                                jnp.full(shape, prior_c, dtype))
         post = WhiteNoiseState(jnp.full(shape, post_b, dtype),
                                jnp.full(shape, post_c, dtype))
         return prior, post

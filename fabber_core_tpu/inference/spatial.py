@@ -46,11 +46,10 @@ MRF_JITTER = 1e-8  # invertibility term for type M (priors.cc:259,408)
 class SpatialState(NamedTuple):
     post: PosteriorState
     centre: jnp.ndarray
-    offset: jnp.ndarray
-    jac: jnp.ndarray
     f: jnp.ndarray
     ak: jnp.ndarray   # [n_spatial_params]
     bad: jnp.ndarray  # [V] bool — excised voxels
+    # linearization is recomputed from `centre` each sweep, not carried
 
 
 class SpatialVBInference(VBInference):
@@ -210,6 +209,7 @@ class SpatialVBInference(VBInference):
     def _sweep(self, it, s, bind):
         active = ~s.bad
         post = s.post
+        offset_c, jac_c = self._recentre(s.centre, bind)
 
         # aK: updated at sweep start from previous sweep's posteriors
         # (skipped on sweep 0 unless update-first-iteration)
@@ -228,17 +228,17 @@ class SpatialVBInference(VBInference):
         # theta update (phase A), then noise + relinearize (phase B)
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, bind.data, None,
+            s.centre, offset_c, jac_c, bind.data, None,
             design=self._design_arg(bind))
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, bind.data,
+            s.centre, offset_c, jac_c, bind.data,
             design=self._design_arg(bind))
-        offset, jac = self._recentre(means, bind)
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)
         if self.need_f:
+            offset, jac = self._recentre(means, bind)
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
                 prior_means, prior_prec, means, offset, jac, bind.data,
@@ -253,8 +253,7 @@ class SpatialVBInference(VBInference):
                   & jnp.all(jnp.isfinite(cov), axis=(0, 1)))
         bad = s.bad | ~finite
 
-        new = SpatialState(post=new_post, centre=means, offset=offset,
-                           jac=jac, f=f, ak=ak, bad=bad)
+        new = SpatialState(post=new_post, centre=means, f=f, ak=ak, bad=bad)
         frozen = s.bad
         merged = _lane_where(~frozen, new._replace(ak=(), bad=()),
                              s._replace(ak=(), bad=()))
@@ -268,8 +267,7 @@ class SpatialVBInference(VBInference):
         base = self.initial_state(continue_means, continue_cov,
                                   continue_noise)
         s0 = SpatialState(
-            post=base.post, centre=base.centre, offset=base.offset,
-            jac=base.jac, f=base.f,
+            post=base.post, centre=base.centre, f=base.f,
             ak=jnp.full(len(self.spatial_params), AK_INIT, self.dtype),
             bad=jnp.zeros(self.nvoxels, bool))
 
@@ -285,7 +283,7 @@ class SpatialVBInference(VBInference):
         conv = self.detector.init_state(self.nvoxels, self.dtype)
         final = VBLoopState(
             it=jnp.array(self.max_its, jnp.int32), post=s.post,
-            centre=s.centre, offset=s.offset, jac=s.jac, f=s.f,
+            centre=s.centre, f=s.f,
             fprior=jnp.zeros(self.nvoxels, self.dtype),
             conv=conv._replace(its=jnp.full(self.nvoxels, self.max_its,
                                             jnp.int32)),

@@ -65,13 +65,15 @@ class VBLoopState(NamedTuple):
     it: Any          # scalar int32
     post: PosteriorState
     centre: Any      # [P,V] linearization centre
-    offset: Any      # [T,V] model signal at centre
-    jac: Any         # [P,T,V]
     f: Any           # [V]
     fprior: Any      # [V]
     conv: ConvState
     best: PosteriorState
     fhist: Any       # [cap,V] or () if history disabled
+    # NB the linearization (offset [T,V], jacobian [P,T,V]) is NOT
+    # carried: it is recomputed from `centre` at the top of each
+    # iteration, keeping the large planes out of the loop state (and
+    # its double buffering)
 
 
 class VBResult(NamedTuple):
@@ -345,8 +347,6 @@ class VBInference:
         prior_means = jnp.zeros((p, v), self.dtype)
         prior_prec = jnp.ones((p, v), self.dtype)
 
-        offset, jac = self._recentre(means, self._bind(lo, hi))
-
         post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                               noise_post)
         conv = self.detector.init_state(v, self.dtype)
@@ -354,7 +354,7 @@ class VBInference:
             if self.save_fhist else ()
         return VBLoopState(
             it=jnp.array(0, jnp.int32),
-            post=post, centre=means, offset=offset, jac=jac,
+            post=post, centre=means,
             f=jnp.full(v, 1234.5678, self.dtype),
             fprior=jnp.zeros(v, self.dtype),
             conv=conv, best=post, fhist=fhist)
@@ -362,6 +362,8 @@ class VBInference:
     # -- one iteration ----------------------------------------------------
     def _iteration(self, s, bind):
         post = s.post
+        # linearization at the current centre (recomputed, not carried)
+        offset_c, jac_c = self._recentre(s.centre, bind)
 
         # 1. Save current state as best-so-far where flagged by the
         #    detector (top of the reference do-loop, inference_vb.cc:451)
@@ -380,26 +382,26 @@ class VBInference:
         lm_alpha = s.conv.alpha if self.is_lm else None
         means, prec, cov, _ok = self.noise.update_theta(
             post.noise, post.means, prior_means, prior_prec,
-            s.centre, s.offset, s.jac, bind.data, lm_alpha,
+            s.centre, offset_c, jac_c, bind.data, lm_alpha,
             design=self._design_arg(bind))
 
         # 4. Noise update (Eq 21/22)
         noise_post = self.noise.update_noise(
             post.noise, self.noise_prior, means, cov,
-            s.centre, s.offset, s.jac, bind.data,
+            s.centre, offset_c, jac_c, bind.data,
             design=self._design_arg(bind))
 
-        # 5. Re-linearize about the new posterior means (or the fixed
-        #    centres when locked-linear is in force)
-        offset, jac = self._recentre(means, bind)
-        centre = self._locked_centres if self.locked_linear else means
+        # 5. The next iteration re-linearizes about the new posterior
+        #    means (or the fixed centres when locked-linear is in force)
+        centre = bind.locked_centres if self.locked_linear else means
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)
 
-        # 6. Free energy (only the final per-iteration value is
-        #    observable; see module docstring)
+        # 6. Free energy at the new linearization (only the final
+        #    per-iteration value is observable; see module docstring)
         if self.need_f:
+            offset, jac = self._recentre(centre, bind)
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
                 prior_means, prior_prec, centre, offset, jac, bind.data,
@@ -412,7 +414,7 @@ class VBInference:
         conv = self.detector.test(s.conv, f)
 
         new = VBLoopState(it=s.it + 1, post=new_post, centre=centre,
-                          offset=offset, jac=jac, f=f, fprior=fprior,
+                          f=f, fprior=fprior,
                           conv=conv, best=best, fhist=s.fhist)
 
         # Freeze lanes that were already done before this iteration.
@@ -511,8 +513,7 @@ class VBInference:
             f = jnp.where(s.conv.revert, f_rev, s.f)
         else:
             f = s.f
-        return s._replace(post=post, centre=post.means, offset=offset,
-                          jac=jac, f=f), None
+        return s._replace(post=post, centre=post.means, f=f), None
 
     def _to_result(self, s, _):
         post = s.post

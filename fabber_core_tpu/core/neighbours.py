@@ -9,7 +9,9 @@ into precomputed padded index arrays, the form a TPU gather wants:
 
 Voxels must be sorted by increasing z, then y, then x (the order
 VolumeGeometry produces); this is validated like the reference's
-coordinate-ordering check.
+coordinate-ordering check. Construction is fully vectorized
+(searchsorted over the sorted linear offsets) so million-voxel graphs
+build in milliseconds.
 """
 
 import numpy as np
@@ -50,47 +52,53 @@ def calc_neighbours(coords, spatial_dims=3):
     xsize = int(coords[:, 0].max()) + 1
     ysize = int(coords[:, 1].max()) + 1
     offsets = (coords[:, 2] * xsize * ysize + coords[:, 1] * xsize
-               + coords[:, 0])
-    lookup = {int(o): i for i, o in enumerate(offsets)}
+               + coords[:, 0])  # sorted ascending by construction
 
-    # neighbour deltas in +x,-x,+y,-y,+z,-z order, restricted to
-    # spatial_dims dimensions
-    deltas = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
-              (0, 0, 1), (0, 0, -1)][:spatial_dims * 2]
+    deltas = np.array([(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                       (0, 0, 1), (0, 0, -1)][:spatial_dims * 2])
 
     neigh = np.full((nv, MAX_NEIGHBOURS), -1, np.int32)
-    counts = np.zeros(nv, np.int32)
-    for v in range(nv):
-        x, y, z = coords[v]
-        n = 0
-        for dx, dy, dz in deltas:
-            xx, yy, zz = x + dx, y + dy, z + dz
-            if xx < 0 or yy < 0 or zz < 0 or xx >= xsize or yy >= ysize:
-                continue  # grid wrap-around guard
-            off = zz * xsize * ysize + yy * xsize + xx
-            j = lookup.get(int(off))
-            if j is not None:
-                neigh[v, n] = j
-                n += 1
-        counts[v] = n
+    slot = np.zeros(nv, np.int64)
+    for dx, dy, dz in deltas:
+        target = coords + np.array([dx, dy, dz])
+        in_grid = ((target[:, 0] >= 0) & (target[:, 0] < xsize)
+                   & (target[:, 1] >= 0) & (target[:, 1] < ysize)
+                   & (target[:, 2] >= 0))
+        toff = (target[:, 2] * xsize * ysize + target[:, 1] * xsize
+                + target[:, 0])
+        pos = np.searchsorted(offsets, toff)
+        pos_c = np.clip(pos, 0, nv - 1)
+        found = in_grid & (offsets[pos_c] == toff)
+        rows = np.flatnonzero(found)
+        neigh[rows, slot[rows]] = pos_c[rows]
+        slot[rows] += 1
 
+    # second neighbours: each first-neighbour's neighbours except self,
+    # keeping duplicates (Penny 2004 Fig 3 weights arise from them)
+    counts = slot
     neigh2 = np.full((nv, MAX_NEIGHBOURS2), -1, np.int32)
-    for v in range(nv):
-        n2 = 0
-        for j in neigh[v]:
-            if j < 0:
-                continue
-            back = 0
-            for k in neigh[j]:
-                if k < 0:
-                    continue
-                if k == v:
-                    back += 1
-                else:
-                    neigh2[v, n2] = k
-                    n2 += 1
-            if back != 1:
-                raise FabberError(
-                    "Each of this voxel's neighbours must have this voxel "
-                    "as a neighbour")
+    safe = np.maximum(neigh, 0)           # [V,6]
+    nofn = safe[safe.reshape(-1)].reshape(nv, MAX_NEIGHBOURS,
+                                          MAX_NEIGHBOURS)  # [V,6,6]
+    valid1 = (neigh >= 0)[:, :, None]
+    valid2 = (neigh[safe.reshape(-1)] >= 0).reshape(
+        nv, MAX_NEIGHBOURS, MAX_NEIGHBOURS)
+    self_idx = np.arange(nv)[:, None, None]
+    keep = valid1 & valid2 & (nofn != self_idx)
+
+    # consistency check: every neighbour must list us exactly once
+    back = (nofn == self_idx) & valid1 & valid2
+    if not np.array_equal(back.sum(axis=2)[neigh >= 0],
+                          np.ones(int((neigh >= 0).sum()))):
+        raise FabberError("Each of this voxel's neighbours must have this "
+                          "voxel as a neighbour")
+
+    flat = nofn.reshape(nv, -1)
+    keep_f = keep.reshape(nv, -1)
+    # left-pack kept entries per row
+    order = np.argsort(~keep_f, axis=1, kind="stable")
+    packed = np.take_along_axis(flat, order, axis=1)
+    kept_sorted = np.take_along_axis(keep_f, order, axis=1)
+    packed[~kept_sorted] = -1
+    neigh2[:, :] = packed[:, :MAX_NEIGHBOURS2]
     return neigh, neigh2

@@ -153,6 +153,9 @@ class VBInference:
                        "Voxels per device pass (0 = auto from memory "
                        "budget; bounds device memory at any volume size)",
                        default="0"),
+            OptionSpec("engine-kernel", OPT_STR,
+                       "Iteration backend: auto (fused Pallas kernel on "
+                       "TPU when eligible), pallas, or xla", default="auto"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -222,6 +225,28 @@ class VBInference:
         # Motion correction is parsed but (as in this reference snapshot,
         # inference_vb.cc:116 with no run_mc caller) not executed
         self.num_mcsteps = options.get_int("mcsteps", 0)
+
+        # Fused Pallas iteration: white noise / single phi group / no
+        # masked timepoints / time-local model / no LM or locked-linear.
+        kernel_mode = options.get_string("engine-kernel", "auto")
+        eligible = (kernel_mode != "xla"
+                    and getattr(self.noise, "name", "") == "white"
+                    and getattr(self.noise, "nphis", 0) == 1
+                    and not self.masked_tpoints
+                    and self.design is None
+                    and not self.is_lm
+                    and not self.locked_linear
+                    and lin_mode == "auto"
+                    and hasattr(model, "time_signal"))
+        if kernel_mode == "pallas":
+            self.use_fused = eligible
+            self.fused_interpret = jax.default_backend() != "tpu"
+        elif kernel_mode == "auto":
+            # interpreted Pallas is slow; auto only engages on real TPU
+            self.use_fused = eligible and jax.default_backend() == "tpu"
+            self.fused_interpret = False
+        else:
+            self.use_fused = False
 
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
@@ -359,11 +384,57 @@ class VBInference:
             fprior=jnp.zeros(v, self.dtype),
             conv=conv, best=post, fhist=fhist)
 
+    def _fused_update(self, s, bind, prior_means, prior_prec):
+        """One theta+noise update through the fused Pallas kernel.
+        Returns (means, prec, cov, noise_post, f_quadratics)."""
+        from ..core.dists import gamma_mean
+        from ..ops.fused_vb import make_fused_iteration
+
+        post = s.post
+        nv = bind.data.shape[1]
+        block = next((bb for bb in (1024, 512, 256, 128) if nv % bb == 0),
+                     None)
+        pad = 0
+        if block is None:
+            block = 128
+            pad = (-nv) % block
+
+        def pad_v(x):
+            if pad and hasattr(x, "ndim") and x.ndim >= 1 \
+                    and x.shape[-1] == nv:
+                width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                return jnp.pad(x, width, mode="edge")
+            return x
+
+        fused = make_fused_iteration(
+            self.model.time_signal, [pm.transform for pm in self.params],
+            nparams=self.nparams, nt=self.nt, nvoxels=nv + pad,
+            dtype=self.dtype, need_f=self.need_f, block=block,
+            interpret=self.fused_interpret)
+        phi = gamma_mean(post.noise.b, post.noise.c)[0]
+        means, prec, cov, tmp, kqkf, trf = fused(
+            pad_v(s.centre), pad_v(prior_means), pad_v(prior_prec),
+            pad_v(phi), pad_v(bind.data))
+        if pad:
+            means, prec, cov, tmp, kqkf, trf = (
+                means[..., :nv], prec[..., :nv], cov[..., :nv],
+                tmp[..., :nv], kqkf[..., :nv], trf[..., :nv])
+
+        # phi update (Eq 21/22) from the kernel's quadratic
+        b_new = 1.0 / (tmp * 0.5 + 1.0 / self.noise_prior.b[0])
+        c_new = jnp.full_like(
+            b_new, (float(self.noise.ntimes_per_group[0]) - 1) * 0.5) \
+            + self.noise_prior.c[0]
+        noise_post = post.noise._replace(b=b_new[None], c=c_new[None])
+        return means, prec, cov, noise_post, (kqkf, trf)
+
     # -- one iteration ----------------------------------------------------
     def _iteration(self, s, bind):
         post = s.post
-        # linearization at the current centre (recomputed, not carried)
-        offset_c, jac_c = self._recentre(s.centre, bind)
+        # linearization at the current centre (recomputed, not carried;
+        # the fused route evaluates the model inside the kernel instead)
+        if not self.use_fused:
+            offset_c, jac_c = self._recentre(s.centre, bind)
 
         # 1. Save current state as best-so-far where flagged by the
         #    detector (top of the reference do-loop, inference_vb.cc:451)
@@ -378,18 +449,20 @@ class VBInference:
         # survives (inference_vb.cc:460-463). Mirrored for parity.
         fprior = f_contribs[-1]
 
-        # 3. Theta update (Eq 19/20)
-        lm_alpha = s.conv.alpha if self.is_lm else None
-        means, prec, cov, _ok = self.noise.update_theta(
-            post.noise, post.means, prior_means, prior_prec,
-            s.centre, offset_c, jac_c, bind.data, lm_alpha,
-            design=self._design_arg(bind))
-
-        # 4. Noise update (Eq 21/22)
-        noise_post = self.noise.update_noise(
-            post.noise, self.noise_prior, means, cov,
-            s.centre, offset_c, jac_c, bind.data,
-            design=self._design_arg(bind))
+        # 3+4. Theta update (Eq 19/20) then noise update (Eq 21/22)
+        if self.use_fused:
+            means, prec, cov, noise_post, fparts = self._fused_update(
+                s, bind, prior_means, prior_prec)
+        else:
+            lm_alpha = s.conv.alpha if self.is_lm else None
+            means, prec, cov, _ok = self.noise.update_theta(
+                post.noise, post.means, prior_means, prior_prec,
+                s.centre, offset_c, jac_c, bind.data, lm_alpha,
+                design=self._design_arg(bind))
+            noise_post = self.noise.update_noise(
+                post.noise, self.noise_prior, means, cov,
+                s.centre, offset_c, jac_c, bind.data,
+                design=self._design_arg(bind))
 
         # 5. The next iteration re-linearizes about the new posterior
         #    means (or the fixed centres when locked-linear is in force)
@@ -400,7 +473,12 @@ class VBInference:
 
         # 6. Free energy at the new linearization (only the final
         #    per-iteration value is observable; see module docstring)
-        if self.need_f:
+        if self.need_f and self.use_fused:
+            f = self.noise.free_energy_from_parts(
+                noise_post, self.noise_prior, means, prec, cov,
+                prior_means, prior_prec, [fparts[0]], [fparts[1]])
+            f = f + fprior
+        elif self.need_f:
             offset, jac = self._recentre(centre, bind)
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
@@ -459,8 +537,13 @@ class VBInference:
         # state+best (x2 for while-loop double buffering)
         per_vox = 4 * (3 * p * p + 8 * p + 24) * item
         # loop temporaries: [T,V]-sized planes; generic path also
-        # carries the [P,T,V] Jacobian and autodiff intermediates
-        per_vox += t * (6 if self.design is not None else 8 * (p + 1)) * item
+        # carries the [P,T,V] Jacobian and autodiff intermediates; the
+        # fused Pallas route stages the Jacobian in VMEM only
+        if getattr(self, "use_fused", False):
+            per_vox += t * 2 * item
+        else:
+            per_vox += t * (6 if self.design is not None
+                            else 8 * (p + 1)) * item
         budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
         return max(16384, int(budget / per_vox))
 

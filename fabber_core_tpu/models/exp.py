@@ -54,6 +54,15 @@ class ExpModel(Model):
         rates = params[1::2]
         return jnp.sum(amps[None, :] * jnp.exp(-rates[None, :] * t[:, None]), axis=1)
 
+    def time_signal(self, params, t):
+        """Time-local form for the fused Pallas iteration: params is a
+        list of model-space planes, t the (traced) sample index."""
+        tv = t * self.dt
+        sig = params[0] * jnp.exp(-params[1] * tv)
+        for i in range(1, self.num):
+            sig = sig + params[2 * i] * jnp.exp(-params[2 * i + 1] * tv)
+        return sig
+
     def init_posterior(self, data, means):
         # amp_i starts at data_max / (num + i) (fwdmodel_exp.cc:84-91)
         data_max = jnp.max(data, axis=1)  # [V]

@@ -239,7 +239,7 @@ class WhiteNoiseModel(NoiseModel):
         for i in range(self.nphis):
             tmp = kqk[i] + trace[i]
             b = 1.0 / (tmp * 0.5 + 1.0 / noise_prior.b[i])
-            c = jnp.full_like(b, (self.ntimes_per_group[i] - 1) * 0.5) \
+            c = jnp.full_like(b, (float(self.ntimes_per_group[i]) - 1) * 0.5) \
                 + noise_prior.c[i]
             if self.locked_noise_stdev > 0:
                 b = 1.0 / c / self.locked_noise_stdev ** 2
@@ -251,13 +251,22 @@ class WhiteNoiseModel(NoiseModel):
                     prior_means, prior_prec, centre, offset, jac, data,
                     design=None):
         """Full ELBO (noisemodel_white.cc:365-454). Returns F [V]."""
-        dtype = means.dtype
-        nv = means.shape[1]
-        p = means.shape[0]
         if design is not None:
             k = data - offset + design @ (centre - means)
         else:
             k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
+        kqk, trace = self._group_quadratics(k, cov, jac, design)
+        return self.free_energy_from_parts(
+            noise_post, noise_prior, means, prec, cov,
+            prior_means, prior_prec, kqk, trace)
+
+    def free_energy_from_parts(self, noise_post, noise_prior, means, prec,
+                               cov, prior_means, prior_prec, kqk, trace):
+        """ELBO assembly given the per-group quadratics k'Q_ik and
+        tr(J'Q_iJ Sigma) (noisemodel_white.cc:365-454)."""
+        dtype = means.dtype
+        nv = means.shape[1]
+        p = means.shape[0]
         n_times = self.n_unmasked
         log2pi = jnp.log(2 * jnp.pi).astype(dtype)
 
@@ -265,7 +274,6 @@ class WhiteNoiseModel(NoiseModel):
         logdet_prec = sm.logdet_from_chol(chol)
         exp_log_theta_dist = 0.5 * logdet_prec - 0.5 * p * (log2pi + 1.0)
 
-        kqk, trace = self._group_quadratics(k, cov, jac, design)
         exp_log_phi_dist = jnp.zeros(nv, dtype)
         part0 = jnp.zeros_like(exp_log_phi_dist)
         part2 = jnp.zeros_like(exp_log_phi_dist)
@@ -276,7 +284,7 @@ class WhiteNoiseModel(NoiseModel):
             dg_ls = digamma(ci) + jnp.log(si)
             exp_log_phi_dist += (-gammaln(ci) - ci * jnp.log(si) - ci
                                  + (ci - 1.0) * dg_ls)
-            part0 += dg_ls * (self.ntimes_per_group[i] * 0.5 + ci0 - 1.0)
+            part0 += dg_ls * (float(self.ntimes_per_group[i]) * 0.5 + ci0 - 1.0)
             part9 += -gammaln(ci0) - ci0 * jnp.log(si0) - si * ci / si0
             # NB: the trace term carries no phi weighting, mirroring the
             # reference expression exactly (noisemodel_white.cc:413-417)

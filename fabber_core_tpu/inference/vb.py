@@ -233,11 +233,14 @@ class VBInference:
                     and getattr(self.noise, "name", "") == "white"
                     and getattr(self.noise, "nphis", 0) == 1
                     and not self.masked_tpoints
-                    and self.design is None
                     and not self.is_lm
                     and not self.locked_linear
                     and lin_mode == "auto"
                     and hasattr(model, "time_signal"))
+        if eligible and kernel_mode == "pallas":
+            # explicit pallas request wins over the fixed-design route
+            self.design = None
+        eligible = eligible and self.design is None
         if kernel_mode == "pallas":
             self.use_fused = eligible
             self.fused_interpret = jax.default_backend() != "tpu"
@@ -604,8 +607,8 @@ class VBInference:
 
         means = np.asarray(post.means).T.copy()            # [V,P]
         cov = np.moveaxis(np.asarray(post.cov), -1, 0).copy()  # [V,P,P]
-        nmeans = np.asarray(noise_means)
-        ncov = np.asarray(noise_cov)
+        nmeans = np.array(noise_means)  # writable copies (bad-voxel fixup)
+        ncov = np.array(noise_cov)
         f = np.asarray(s.f) if self.need_f else None
 
         bad = ~(np.isfinite(means).all(axis=1)

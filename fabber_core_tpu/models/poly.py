@@ -43,3 +43,13 @@ class PolynomialModel(Model):
     def fixed_design(self, nt):
         t = jnp.arange(1, nt + 1, dtype=jnp.float64)
         return t[:, None] ** jnp.arange(self.degree + 1, dtype=jnp.float64)[None, :]
+
+    def time_signal(self, params, t):
+        """Time-local form (fused kernel): t is the 0-based index."""
+        tv = t + 1.0  # reference samples run 1..T
+        sig = params[0]
+        power = tv
+        for i in range(1, self.degree + 1):
+            sig = sig + params[i] * power
+            power = power * tv
+        return sig

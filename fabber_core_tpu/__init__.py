@@ -27,4 +27,18 @@ _jax.config.update("jax_enable_x64", True)
 if _os.environ.get("FABBER_TPU_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["FABBER_TPU_PLATFORM"])
 
+# Persistent compilation cache: TPU compiles of the jitted VB loop can
+# take minutes (especially through remote-compile tunnels); cache them
+# across processes. Override location with FABBER_TPU_CACHE_DIR; set it
+# empty to disable.
+_cache_dir = _os.environ.get(
+    "FABBER_TPU_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "fabber_core_tpu"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without these options
+        pass
+
 from .version import __version__  # noqa: E402,F401

@@ -129,8 +129,16 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
             cn = None
             if cont_means is not None:
                 p = len(params)
-                cn = engine.noise.state_from_mvn(
-                    cont_means[:, p:], cont_cov[:, p:, p:])
+                if cont_means.shape[1] > p:
+                    cn = engine.noise.state_from_mvn(
+                        cont_means[:, p:], cont_cov[:, p:, p:])
+                else:
+                    # checkpoint without a noise block (e.g. an NLLS
+                    # finalMVN): keep the default initial noise. The
+                    # reference requires a manual mvntool --new insert
+                    # here; accepting it directly is friendlier.
+                    log.log("continue-from-mvn has no noise block; "
+                            "using default initial noise")
                 cont_means, cont_cov = cont_means[:, :p], cont_cov[:, :p, :p]
             result = engine.run(cont_means, cont_cov, cn)
     elif method == "nlls":

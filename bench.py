@@ -56,18 +56,39 @@ def build_engine(config, nv):
         c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
         data = (c0 + 0.01 * t[None, :]
                 + 0.1 * jax.random.normal(k2, (nv, nt))).astype(jnp.float32)
+    elif config == "spatial":
+        nt = 50
+        opts = {"model": "poly", "degree": "0", "noise": "white",
+                "method": "spatialvb", "param-spatial-priors": "M",
+                "spatial-dims": "2"}
+        k1, k2 = jax.random.split(key)
+        base = jax.random.uniform(k1, (nv, 1), minval=3.0, maxval=5.0)
+        data = (base + 0.5 * jax.random.normal(k2, (nv, nt))).astype(
+            jnp.float32)
     else:
         raise ValueError(f"Unknown config {config}")
 
     data = jax.block_until_ready(data)
-    coords = np.stack([np.arange(nv) % 256, (np.arange(nv) // 256) % 256,
-                       np.arange(nv) // 65536], 1).astype(np.float32)
+    if config == "spatial":
+        # full 2-D grid so the neighbour graph is dense
+        nx = 1024
+        assert nv % nx == 0
+        ny = nv // nx
+        coords = np.stack([np.arange(nv) % nx, (np.arange(nv) // nx) % ny,
+                           np.zeros(nv)], 1).astype(np.float32)
+    else:
+        coords = np.stack([np.arange(nv) % 256, (np.arange(nv) // 256) % 256,
+                           np.arange(nv) // 65536], 1).astype(np.float32)
     options = RunOptions({**opts, "max-iterations": str(iters),
                           "dtype": "single",
                           "engine-kernel": os.environ.get(
                               "FABBER_BENCH_KERNEL", "auto")})
     model = get_model_class(options.get_string("model"))(options)
-    eng = VBInference(model, options, data, coords)
+    if config == "spatial":
+        from fabber_core_tpu.inference.spatial import SpatialVBInference
+        eng = SpatialVBInference(model, options, data, coords)
+    else:
+        eng = VBInference(model, options, data, coords)
     return eng, iters
 
 
@@ -78,9 +99,34 @@ def main():
     nv = int(os.environ.get("FABBER_BENCH_VOXELS", 1_000_000))
     config = os.environ.get("FABBER_BENCH_CONFIG", "poly")
     nt_label = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
-                "ar1": "T=106, P=3 + AR(1)"}[config]
+                "ar1": "T=106, P=3 + AR(1)",
+                "spatial": "T=50, P=1 + MRF"}[config]
 
     eng, iters = build_engine(config, nv)
+    if config == "spatial":
+        import jax.numpy as jnp
+        from fabber_core_tpu.inference.spatial import SpatialState, AK_INIT
+        base_state = eng.initial_state()
+        s0 = SpatialState(
+            post=base_state.post, centre=base_state.centre, f=base_state.f,
+            ak=jnp.full(len(eng.spatial_params), AK_INIT, eng.dtype),
+            bad=jnp.zeros(eng.nvoxels, bool))
+        bind = eng._bind()
+
+        @jax.jit
+        def sp_loop(st, bd):
+            return jax.lax.fori_loop(
+                0, eng.max_its, lambda i, x: eng._sweep(i, x, bd), st)
+
+        def run_once():
+            out = sp_loop(s0, bind)
+            jax.block_until_ready(out.post.means)
+            return out
+
+        windows = [(0, nv)]
+        return _measure(run_once, nv, iters, config,
+                        "T=50, P=1 + MRF prior")
+
     loop = eng.compiled_loop()
     chunk = min(eng._chunk_size(), nv)
     windows = [(lo, min(lo + chunk, nv)) for lo in range(0, nv, chunk)]
@@ -99,9 +145,13 @@ def main():
         jax.block_until_ready(final.post.means)
         return final
 
-    # warmup (compile)
+    _measure(run_once, nv, iters, config, nt_label)
+
+
+def _measure(run_once, nv, iters, config, nt_label):
+    import jax
     t0 = time.perf_counter()
-    run_once()
+    run_once()  # warmup (compile)
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()

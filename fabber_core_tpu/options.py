@@ -89,6 +89,8 @@ GLOBAL_OPTIONS = [
     OptionSpec("profile-dir", OPT_STR, "Write a jax.profiler device trace here"),
     OptionSpec("no-compat-output", OPT_BOOL,
                "Disable the backwards-compatible default output set"),
+    OptionSpec("shard-voxels", OPT_BOOL,
+               "Shard the voxel axis over all available devices"),
 ]
 
 

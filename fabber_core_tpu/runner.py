@@ -111,6 +111,7 @@ def run(options, store, log=None, progress_cb=None):
 def _dispatch(method, model, options, data, coords, suppdata, store,
               params, cont_means, cont_cov, log):
     getter = store.get
+    shard = options.get_bool("shard-voxels")
     if method in ("vb", "spatialvb"):
         if is_spatial(options, params):
             from .inference.spatial import SpatialVBInference
@@ -119,6 +120,11 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
         else:
             engine = VBInference(model, options, data, coords, suppdata,
                                  voxel_data_getter=getter)
+        if shard:
+            from .parallel import shard_engine
+            mesh = shard_engine(engine)
+            log.log(f"Sharding {engine.nvoxels} voxels over mesh "
+                    f"{dict(mesh.shape)}")
         if options.get_bool("output-only"):
             if cont_means is None:
                 raise FabberError(
@@ -144,6 +150,9 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
     elif method == "nlls":
         engine = NLLSInference(model, options, data, coords, suppdata,
                                voxel_data_getter=getter)
+        if shard:
+            from .parallel import shard_engine
+            shard_engine(engine)
         result = engine.run()
     else:
         raise FabberError(f"Unrecognized inference method: {method}")

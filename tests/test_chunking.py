@@ -48,3 +48,30 @@ def test_auto_chunk_size_reasonable():
     eng = VBInference(get_model_class("poly")(options), options, data, coords)
     chunk = eng._chunk_size()
     assert chunk >= 16384  # auto budget should allow large chunks
+
+
+def test_shard_voxels_matches_unsharded():
+    """--shard-voxels over the 8-device CPU mesh: identical results."""
+    import jax
+    from fabber_core_tpu.api import FabberTpu
+    rng = np.random.default_rng(5)
+    shape, nt = (8, 4, 2), 12
+    vol = (2.0 + rng.normal(0, 0.5, shape + (nt,))).astype(np.float32)
+    base = {"model": "poly", "degree": "0", "method": "spatialvb",
+            "noise": "white", "param-spatial-priors": "M",
+            "max-iterations": "4", "save-mean": True}
+    fab = FabberTpu()
+    plain = fab.run_with_data(dict(base), {"data": vol})
+    sharded = fab.run_with_data(dict(base, **{"shard-voxels": True}),
+                                {"data": vol})
+    np.testing.assert_array_equal(plain.data["mean_c0"],
+                                  sharded.data["mean_c0"])
+
+    # voxelwise method shards too
+    base2 = {"model": "poly", "degree": "0", "method": "vb",
+             "noise": "white", "max-iterations": "4", "save-mean": True}
+    plain = fab.run_with_data(dict(base2), {"data": vol})
+    sharded = fab.run_with_data(dict(base2, **{"shard-voxels": True}),
+                                {"data": vol})
+    np.testing.assert_array_equal(plain.data["mean_c0"],
+                                  sharded.data["mean_c0"])

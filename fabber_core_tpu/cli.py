@@ -239,6 +239,10 @@ def _run(options):
     with open(os.path.join(outdir, "paramnames.txt"), "w") as f:
         for name in result.param_names:
             f.write(name + "\n")
+    # run-environment record, as the reference writes (rundata.cc:724)
+    import platform
+    with open(os.path.join(outdir, "uname.txt"), "w") as f:
+        f.write(" ".join(platform.uname()) + "\n")
 
     affine = mask_img.affine_bytes if mask_img is not None else None
     pixdims = mask_img.pixdims if mask_img is not None else None

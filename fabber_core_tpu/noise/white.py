@@ -27,7 +27,7 @@ import numpy as np
 from jax.scipy.special import digamma, gammaln
 
 from ..core.dists import gamma_mean, gamma_var, gamma_from_mean_var
-from ..exceptions import InvalidOptionValue
+from ..exceptions import FabberError, InvalidOptionValue
 from ..ops import smallmat as sm
 from ..options import OptionSpec, OPT_STR, OPT_FLOAT
 from .base import NoiseModel, register_noise
@@ -141,7 +141,12 @@ class WhiteNoiseModel(NoiseModel):
         return means, cov
 
     def state_from_mvn(self, means, cov):
-        var = np.diagonal(np.asarray(cov), axis1=-2, axis2=-1)
+        cov = np.asarray(cov)
+        offdiag = cov - np.einsum("vij,ij->vij", cov,
+                                  np.eye(cov.shape[-1]))
+        if cov.shape[-1] > 1 and np.any(offdiag != 0.0):
+            raise FabberError("Phis should have zero covariance!")
+        var = np.diagonal(cov, axis1=-2, axis2=-1)
         b, c = gamma_from_mean_var(np.asarray(means).T, var.T)
         return WhiteNoiseState(jnp.asarray(b), jnp.asarray(c))
 

@@ -13,12 +13,10 @@ import numpy as np
 from .core.volume import VolumeGeometry, VoxelDataStore
 from .easylog import EasyLog
 from .exceptions import FabberError
-from .inference.convergence import known_detectors, get_detector_class
 from .inference.nlls import NLLSInference
 from .inference.vb import VBInference
 from .models import get_model_class, known_models, resolve_parameters
 from .models.base import EvalContext
-from .noise import known_noise_models, get_noise_class
 from .options import GLOBAL_OPTIONS, RunOptions
 from . import runner
 

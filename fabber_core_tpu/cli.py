@@ -18,7 +18,7 @@ from .easylog import EasyLog
 from .exceptions import DataNotFound, FabberError
 from .io import nifti
 from .api import FabberTpu
-from .models import get_model_class, known_models, resolve_parameters
+from .models import get_model_class, resolve_parameters
 from .options import RunOptions
 from . import runner
 from .version import __version__

@@ -18,8 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..exceptions import DataNotFound
-from ..models.base import (PRIOR_ARD, PRIOR_DEFAULT, PRIOR_IMAGE,
-                           PRIOR_NORMAL, SPATIAL_PRIOR_TYPES)
+from ..models.base import PRIOR_ARD, PRIOR_IMAGE, SPATIAL_PRIOR_TYPES
 
 # digamma(0.5) = -euler_gamma - 2 ln 2 and gammaln(0.5), for the ARD
 # free energy term (Chappell 2009 App. D)

@@ -23,8 +23,6 @@ Restrictions (callers gate on these): white noise, single phi group,
 no masked timepoints, no LM damping, identity/elementwise transforms.
 """
 
-import functools
-
 import jax
 import numpy as np
 import jax.numpy as jnp

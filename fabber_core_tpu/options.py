@@ -12,7 +12,7 @@ redesigned as a plain-Python registry:
     unused-option warnings.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .exceptions import InvalidOptionValue, MandatoryOptionMissing
 

@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 from .easylog import EasyLog
-from .exceptions import DataNotFound, FabberError, BadVoxelError
+from .exceptions import FabberError, BadVoxelError
 from .inference.nlls import NLLSInference
 from .inference.vb import VBInference
 from .io import mvn as mvn_io

@@ -75,7 +75,6 @@ def calc_neighbours(coords, spatial_dims=3):
 
     # second neighbours: each first-neighbour's neighbours except self,
     # keeping duplicates (Penny 2004 Fig 3 weights arise from them)
-    counts = slot
     neigh2 = np.full((nv, MAX_NEIGHBOURS2), -1, np.int32)
     safe = np.maximum(neigh, 0)           # [V,6]
     nofn = safe[safe.reshape(-1)].reshape(nv, MAX_NEIGHBOURS,

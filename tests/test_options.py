@@ -60,3 +60,40 @@ class TestRunOptions:
         o = RunOptions().parse_option_file(str(p))
         assert o.get_string("method") == "vb"
         assert o.get_bool("save-mean") is True
+
+
+class TestFabRunFile:
+    def test_roundtrip_preserves_comments(self, tmp_path):
+        from fabber_core_tpu.fabfile import FabRunFile
+        src = tmp_path / "run.fab"
+        src.write_text("# my run\nmethod=vb\n\nmodel=poly\ndegree=2\n"
+                       "save-mean\n")
+        fab = FabRunFile(str(src))
+        assert fab["method"] == "vb"
+        assert fab["save-mean"] == ""
+        fab["degree"] = "3"
+        fab["noise"] = "white"
+        del fab["save-mean"]
+        fab.add_comment("edited", option="noise")
+        out = tmp_path / "out.fab"
+        fab.save(str(out), mask="m.nii.gz")
+        text = out.read_text()
+        assert text.startswith("# my run\n")
+        assert "degree=3" in text
+        assert "# edited\nnoise=white" in text
+        assert "save-mean" not in text
+        # reload round trip
+        again = FabRunFile(str(out))
+        assert dict(again) == dict(fab)
+
+    def test_cli_accepts_fab_file(self, tmp_path):
+        # .fab files are the same format the CLI's -f reads
+        from fabber_core_tpu.fabfile import FabRunFile
+        from fabber_core_tpu.options import RunOptions
+        fab = FabRunFile()
+        fab["model"] = "poly"
+        fab["degree"] = "2"
+        p = tmp_path / "opts.fab"
+        fab.save(str(p))
+        opts = RunOptions().parse_option_file(str(p))
+        assert opts.get_string("model") == "poly"

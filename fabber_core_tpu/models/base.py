@@ -118,6 +118,14 @@ class Model:
         """
         return None
 
+    # Models may additionally define
+    #     time_signal(self, params, t) -> signal plane
+    # where params is a list of model-space planes and t the (traced,
+    # float) sample index: a "time-local" form that unlocks the fused
+    # Pallas iteration (ops/fused_vb.py). It must depend only on the
+    # parameters, t and static model config — per-voxel data/coords/
+    # suppdata are not available inside the kernel.
+
 
 # -- registry -------------------------------------------------------------
 

@@ -23,6 +23,21 @@ import numpy as np
 REFERENCE_VOXELS_PER_SEC = 1e5  # implied C++ throughput (BASELINE.md)
 
 
+def _randn(key, shape):
+    """Slab-wise standard normal: erf_inv temps for a single [nv,nt]
+    draw exceed HBM beyond ~2M voxels."""
+    import jax
+    import jax.numpy as jnp
+    nv, nt = shape
+    slab = 1 << 19
+    if nv <= slab:
+        return jax.random.normal(key, shape)
+    keys = jax.random.split(key, (nv + slab - 1) // slab)
+    parts = [jax.random.normal(keys[i], (min(slab, nv - i * slab), nt))
+             for i in range(len(keys))]
+    return jnp.concatenate(parts, axis=0)
+
+
 def build_engine(config, nv):
     import jax
     import jax.numpy as jnp
@@ -40,14 +55,14 @@ def build_engine(config, nv):
         c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
         c1 = jax.random.uniform(k2, (nv, 1), minval=-0.1, maxval=0.1)
         data = (c0 + c1 * t[None, :]
-                + 0.1 * jax.random.normal(k3, (nv, nt))).astype(jnp.float32)
+                + 0.1 * _randn(k3, (nv, nt))).astype(jnp.float32)
     elif config == "biexp":
         nt, opts = 100, {"model": "biexp", "dt": "0.02", "noise": "white"}
         t = jnp.arange(nt, dtype=jnp.float32) * 0.02
         k1, k2 = jax.random.split(key)
         amp = jax.random.uniform(k1, (nv, 1), minval=0.5, maxval=1.5)
         data = (amp * jnp.exp(-t)[None, :] + 0.5 * amp * jnp.exp(-5 * t)[None, :]
-                + 0.05 * jax.random.normal(k2, (nv, nt))).astype(jnp.float32)
+                + 0.05 * _randn(k2, (nv, nt))).astype(jnp.float32)
     elif config == "ar1":
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "ar",
                          "num-echoes": "1"}
@@ -55,7 +70,7 @@ def build_engine(config, nv):
         k1, k2 = jax.random.split(key)
         c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
         data = (c0 + 0.01 * t[None, :]
-                + 0.1 * jax.random.normal(k2, (nv, nt))).astype(jnp.float32)
+                + 0.1 * _randn(k2, (nv, nt))).astype(jnp.float32)
     elif config == "spatial":
         nt = 50
         opts = {"model": "poly", "degree": "0", "noise": "white",
@@ -63,7 +78,7 @@ def build_engine(config, nv):
                 "spatial-dims": "2"}
         k1, k2 = jax.random.split(key)
         base = jax.random.uniform(k1, (nv, 1), minval=3.0, maxval=5.0)
-        data = (base + 0.5 * jax.random.normal(k2, (nv, nt))).astype(
+        data = (base + 0.5 * _randn(k2, (nv, nt))).astype(
             jnp.float32)
     else:
         raise ValueError(f"Unknown config {config}")
@@ -113,10 +128,7 @@ def main():
             bad=jnp.zeros(eng.nvoxels, bool))
         bind = eng._bind()
 
-        @jax.jit
-        def sp_loop(st, bd):
-            return jax.lax.fori_loop(
-                0, eng.max_its, lambda i, x: eng._sweep(i, x, bd), st)
+        sp_loop = eng.compiled_sweeps()
 
         def run_once():
             out = sp_loop(s0, bind)
@@ -127,7 +139,10 @@ def main():
         return _measure(run_once, nv, iters, config,
                         "T=50, P=1 + MRF prior")
 
-    loop = eng.compiled_loop()
+    # single-dispatch path: initial state + VB loop in one compiled
+    # program per window (eager init ops are host round trips on the
+    # remote-TPU tunnel)
+    full = eng.compiled_full()
     chunk = min(eng._chunk_size(), nv)
     windows = [(lo, min(lo + chunk, nv)) for lo in range(0, nv, chunk)]
     # fixed-size windows (the engine's chunked-run convention)
@@ -140,8 +155,7 @@ def main():
     def run_once():
         final = None
         for lo, hi in windows:
-            s0 = eng.initial_state(lo=lo, hi=hi)
-            final, _ = loop(s0, eng._bind(lo, hi))
+            final, _ = full(eng._bind(lo, hi))
         jax.block_until_ready(final.post.means)
         return final
 

@@ -206,10 +206,11 @@ class SpatialVBInference(VBInference):
         return prior_means, prior_prec
 
     # -- sweep ------------------------------------------------------------
-    def _sweep(self, it, s, bind):
+    def _sweep(self, it, s, bind, stats=None):
         active = ~s.bad
         post = s.post
-        offset_c, jac_c = self._recentre(s.centre, bind)
+        if stats is None:
+            offset_c, jac_c = self._recentre(s.centre, bind)
 
         # aK: updated at sweep start from previous sweep's posteriors
         # (skipped on sweep 0 unless update-first-iteration)
@@ -226,18 +227,28 @@ class SpatialVBInference(VBInference):
         fprior = jnp.sum(f_contribs, axis=0)
 
         # theta update (phase A), then noise + relinearize (phase B)
-        means, prec, cov, _ok = self.noise.update_theta(
-            post.noise, post.means, prior_means, prior_prec,
-            s.centre, offset_c, jac_c, bind.data, None,
-            design=self._design_arg(bind))
-        noise_post = self.noise.update_noise(
-            post.noise, self.noise_prior, means, cov,
-            s.centre, offset_c, jac_c, bind.data,
-            design=self._design_arg(bind))
+        if stats is not None:
+            means, prec, cov, _ok = self.noise.update_theta_stats(
+                post.noise, prior_means, prior_prec, stats)
+            noise_post = self.noise.update_noise_stats(
+                post.noise, self.noise_prior, means, cov, stats)
+        else:
+            means, prec, cov, _ok = self.noise.update_theta(
+                post.noise, post.means, prior_means, prior_prec,
+                s.centre, offset_c, jac_c, bind.data, None,
+                design=self._design_arg(bind))
+            noise_post = self.noise.update_noise(
+                post.noise, self.noise_prior, means, cov,
+                s.centre, offset_c, jac_c, bind.data,
+                design=self._design_arg(bind))
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)
-        if self.need_f:
+        if self.need_f and stats is not None:
+            f = self.noise.free_energy_stats(
+                noise_post, self.noise_prior, means, prec, cov,
+                prior_means, prior_prec, stats) + fprior
+        elif self.need_f:
             offset, jac = self._recentre(means, bind)
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
@@ -263,6 +274,17 @@ class SpatialVBInference(VBInference):
         return merged._replace(ak=ak, bad=bad)
 
     # -- driver -----------------------------------------------------------
+    def compiled_sweeps(self):
+        """The full jitted spatial computation: state -> final state."""
+        @jax.jit
+        def loop(s, bind):
+            stats = self.noise.make_design_stats(bind.design, bind.data) \
+                if self.use_stats else None
+            return jax.lax.fori_loop(
+                0, self.max_its,
+                lambda i, st: self._sweep(i, st, bind, stats), s)
+        return loop
+
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
         base = self.initial_state(continue_means, continue_cov,
                                   continue_noise)
@@ -271,12 +293,7 @@ class SpatialVBInference(VBInference):
             ak=jnp.full(len(self.spatial_params), AK_INIT, self.dtype),
             bad=jnp.zeros(self.nvoxels, bool))
 
-        @jax.jit
-        def loop(s, bind):
-            return jax.lax.fori_loop(
-                0, self.max_its, lambda i, st: self._sweep(i, st, bind), s)
-
-        s = loop(s0, self._bind())
+        s = self.compiled_sweeps()(s0, self._bind())
         self.final_ak = np.asarray(s.ak)
 
         # wrap into the VBLoopState shape expected by _to_result

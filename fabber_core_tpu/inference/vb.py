@@ -156,6 +156,10 @@ class VBInference:
             OptionSpec("engine-kernel", OPT_STR,
                        "Iteration backend: auto (fused Pallas kernel on "
                        "TPU when eligible), pallas, or xla", default="auto"),
+            OptionSpec("fixed-design-route", OPT_STR,
+                       "Fixed-design update arithmetic: stats (sufficient "
+                       "statistics; the iteration loop never touches "
+                       "[T,V] data) or direct", default="stats"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -210,7 +214,6 @@ class VBInference:
             d = model.fixed_design(self.nt)
             if d is not None:
                 self.design = jnp.asarray(d, self.dtype)
-
         # Fixed linearization centres (inference_vb.cc:169-179,227-236)
         self.locked_linear = options.get_string("locked-linear-from-mvn",
                                                 "") != ""
@@ -251,6 +254,15 @@ class VBInference:
         else:
             self.use_fused = False
 
+        # Sufficient-statistics route: one [T,V] pass at loop entry,
+        # then the fixed point runs on [P,V] planes only (after the
+        # fused block, which may have claimed the model off the
+        # fixed-design route)
+        self.use_stats = (
+            self.design is not None
+            and options.get_string("fixed-design-route", "stats") == "stats"
+            and hasattr(self.noise, "make_design_stats"))
+
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
@@ -258,7 +270,12 @@ class VBInference:
     def _bind(self, lo=0, hi=None):
         """Per-run (optionally per-voxel-chunk) device array bundle."""
         hi = self.nvoxels if hi is None else hi
-        sl = slice(lo, hi)
+        if lo == 0 and hi == self.nvoxels:
+            # full range: no slicing ops (each eager slice is a device
+            # round trip on the remote-TPU tunnel)
+            sl = slice(None)
+        else:
+            sl = slice(lo, hi)
         supp = self.suppdata[:, sl] if self.suppdata is not None \
             else jnp.zeros((0, hi - lo), self.dtype)
         base = self.prior_setup.base_means
@@ -310,12 +327,13 @@ class VBInference:
             bind.data, bind.coords, bind.supp)
 
     # -- initial state ----------------------------------------------------
-    def initial_posterior(self, lo=0, hi=None):
+    def initial_posterior(self, lo=0, hi=None, data=None):
         """Build latent-space initial posterior (fwdmodel.cc:284-313).
         Returns means [P,V], prec [P,P,V], cov [P,P,V].
 
         Built on device: only per-parameter scalars (and image-prior
-        planes, when present) come from the host.
+        planes, when present) come from the host. Traceable when `data`
+        is passed and no image priors are in play (see compiled_full).
         """
         hi = self.nvoxels if hi is None else hi
         v, p = hi - lo, self.nparams
@@ -330,7 +348,9 @@ class VBInference:
         means_vox = jnp.stack(cols, axis=1)  # [V,P] model space
 
         # voxelwise model init hook (model space, voxel-major API)
-        means_vox = self.model.init_posterior(self.data[:, lo:hi].T, means_vox)
+        if data is None:
+            data = self.data[:, lo:hi]
+        means_vox = self.model.init_posterior(data.T, means_vox)
 
         # transform to latent space, building SoA planes
         lmeans, lvars = [], []
@@ -343,18 +363,24 @@ class VBInference:
         lvars = jnp.stack(lvars)
         return lmeans, sm.diag_planes(1.0 / lvars), sm.diag_planes(lvars)
 
+    def _ensure_noise_prior(self):
+        if getattr(self, "noise_prior", None) is None:
+            prior, _ = self.noise.initial_state(1, self.dtype)
+            self.noise_prior = self._noise_state_from_file(
+                "noise-initial-prior", prior, 1)
+
     def initial_state(self, continue_means=None, continue_cov=None,
-                      continue_noise=None, lo=0, hi=None):
+                      continue_noise=None, lo=0, hi=None, data=None):
         hi = self.nvoxels if hi is None else hi
         v, p = hi - lo, self.nparams
-        noise_prior, noise_post = self.noise.initial_state(v, self.dtype)
-        # the prior is voxel-uniform ([.,1] planes) and broadcast inside
-        # the updates; chunking never needs to slice it
-        noise_prior = self._noise_state_from_file(
-            "noise-initial-prior", noise_prior, 1)
+        # the noise prior is voxel-uniform ([.,1] planes, broadcast in
+        # the updates) and is built EAGERLY exactly once: initial_state
+        # may run under jit (compiled_full), and storing a traced prior
+        # on self would leak a tracer out of the trace
+        self._ensure_noise_prior()
+        _, noise_post = self.noise.initial_state(v, self.dtype)
         noise_post = self._noise_state_from_file(
             "noise-initial-posterior", noise_post, v)
-        self.noise_prior = noise_prior
 
         if continue_means is not None:
             # voxel-major [V,P] / [V,P,P] in, SoA planes internally
@@ -368,7 +394,7 @@ class VBInference:
                     lambda x: jnp.asarray(x[..., lo:hi], self.dtype),
                     continue_noise)
         else:
-            means, prec, cov = self.initial_posterior(lo, hi)
+            means, prec, cov = self.initial_posterior(lo, hi, data=data)
 
         # Initial prior: identity precision, zero mean; real values are
         # written by the prior sweep inside iteration 0.
@@ -432,11 +458,12 @@ class VBInference:
         return means, prec, cov, noise_post, (kqkf, trf)
 
     # -- one iteration ----------------------------------------------------
-    def _iteration(self, s, bind):
+    def _iteration(self, s, bind, stats=None):
         post = s.post
         # linearization at the current centre (recomputed, not carried;
-        # the fused route evaluates the model inside the kernel instead)
-        if not self.use_fused:
+        # the fused route evaluates the model inside the kernel instead;
+        # the stats route needs no linearization at all)
+        if not self.use_fused and stats is None:
             offset_c, jac_c = self._recentre(s.centre, bind)
 
         # 1. Save current state as best-so-far where flagged by the
@@ -456,6 +483,13 @@ class VBInference:
         if self.use_fused:
             means, prec, cov, noise_post, fparts = self._fused_update(
                 s, bind, prior_means, prior_prec)
+        elif stats is not None:
+            lm_alpha = s.conv.alpha if self.is_lm else None
+            means, prec, cov, _ok = self.noise.update_theta_stats(
+                post.noise, prior_means, prior_prec, stats,
+                lm_alpha, s.centre)
+            noise_post = self.noise.update_noise_stats(
+                post.noise, self.noise_prior, means, cov, stats)
         else:
             lm_alpha = s.conv.alpha if self.is_lm else None
             means, prec, cov, _ok = self.noise.update_theta(
@@ -480,6 +514,11 @@ class VBInference:
             f = self.noise.free_energy_from_parts(
                 noise_post, self.noise_prior, means, prec, cov,
                 prior_means, prior_prec, [fparts[0]], [fparts[1]])
+            f = f + fprior
+        elif self.need_f and stats is not None:
+            f = self.noise.free_energy_stats(
+                noise_post, self.noise_prior, means, prec, cov,
+                prior_means, prior_prec, stats)
             f = f + fprior
         elif self.need_f:
             offset, jac = self._recentre(centre, bind)
@@ -518,11 +557,43 @@ class VBInference:
 
         @jax.jit
         def loop(s, bind):
-            s = jax.lax.while_loop(cond, lambda st: self._iteration(st, bind),
-                                   s)
-            return self._finalize(s, bind)
+            stats = self.noise.make_design_stats(bind.design, bind.data) \
+                if self.use_stats else None
+            s = jax.lax.while_loop(
+                cond, lambda st: self._iteration(st, bind, stats), s)
+            return self._finalize(s, bind, stats)
 
         return loop
+
+    def _can_trace_init(self, continue_means):
+        """True when initial_state is pure device math on bind.data —
+        no host-side reads that would bake volume-sized constants into
+        the compiled program."""
+        return (continue_means is None
+                and all(spec.prior_type != PRIOR_IMAGE
+                        for spec in self.params)
+                and self.options.get_string(
+                    "noise-initial-prior", "modeldefault") == "modeldefault"
+                and self.options.get_string(
+                    "noise-initial-posterior",
+                    "modeldefault") == "modeldefault")
+
+    def compiled_full(self):
+        """Jitted bind -> finalized state, constructing the initial
+        state on device: a whole chunk's VB run is ONE dispatch (eager
+        init ops are host round trips on the remote-TPU tunnel)."""
+        inner = self.compiled_loop()
+
+        # prior construction must happen eagerly, before tracing
+        self._ensure_noise_prior()
+
+        @jax.jit
+        def full(bind):
+            v = bind.data.shape[1]
+            s0 = self.initial_state(lo=0, hi=v, data=bind.data)
+            return inner(s0, bind)
+
+        return full
 
     def _chunk_size(self):
         """Voxels per device pass. 0 = auto from a memory budget.
@@ -544,6 +615,10 @@ class VBInference:
         # fused Pallas route stages the Jacobian in VMEM only
         if getattr(self, "use_fused", False):
             per_vox += t * 2 * item
+        elif getattr(self, "use_stats", False):
+            # loop carries no [T,V] planes; the one-time stats pass
+            # needs data + r0 + a matmul operand
+            per_vox += t * 3 * item
         else:
             per_vox += t * (6 if self.design is not None
                             else 8 * (p + 1)) * item
@@ -552,11 +627,22 @@ class VBInference:
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
         chunk = self._chunk_size()
-        loop = self.compiled_loop()
-        if chunk >= self.nvoxels:
+        # single-dispatch path: initial state built on device inside
+        # the compiled program (host round trips cost ~ms each on the
+        # remote-TPU tunnel)
+        traced_init = self._can_trace_init(continue_means)
+        full = self.compiled_full() if traced_init else None
+        loop = None if traced_init else self.compiled_loop()
+
+        def run_window(lo, hi):
+            if traced_init:
+                return full(self._bind(lo, hi))
             s0 = self.initial_state(continue_means, continue_cov,
-                                    continue_noise)
-            final, result = loop(s0, self._bind())
+                                    continue_noise, lo=lo, hi=hi)
+            return loop(s0, self._bind(lo, hi))
+
+        if chunk >= self.nvoxels:
+            final, result = run_window(0, self.nvoxels)
             return self._to_result(final, result)
 
         # chunked execution: fixed-size windows; the final window is
@@ -570,9 +656,7 @@ class VBInference:
             if hi > self.nvoxels:
                 take_from = hi - self.nvoxels
                 lo, hi = self.nvoxels - chunk, self.nvoxels
-            s0 = self.initial_state(continue_means, continue_cov,
-                                    continue_noise, lo=lo, hi=hi)
-            final, result = loop(s0, self._bind(lo, hi))
+            final, result = run_window(lo, hi)
             res = self._to_result(final, result)
             if take_from:
                 res = jax.tree_util.tree_map(
@@ -585,17 +669,24 @@ class VBInference:
             lo = hi
         return _concat_results(results)
 
-    def _finalize(self, s, bind):
+    def _finalize(self, s, bind, stats=None):
         """Post-loop save/revert (inference_vb.cc:505-525)."""
         best = _lane_where(s.conv.save, s.post, s.best)
         post = _lane_where(s.conv.revert, best, s.post)
 
-        offset, jac = self._recentre(post.means, bind)
         if self.need_f:
-            f_rev = self.noise.free_energy(
-                post.noise, self.noise_prior, post.means, post.prec, post.cov,
-                post.prior_means, post.prior_prec, post.means, offset, jac,
-                bind.data, design=self._design_arg(bind)) + s.fprior
+            if stats is not None:
+                f_rev = self.noise.free_energy_stats(
+                    post.noise, self.noise_prior, post.means, post.prec,
+                    post.cov, post.prior_means, post.prior_prec,
+                    stats) + s.fprior
+            else:
+                offset, jac = self._recentre(post.means, bind)
+                f_rev = self.noise.free_energy(
+                    post.noise, self.noise_prior, post.means, post.prec,
+                    post.cov, post.prior_means, post.prior_prec, post.means,
+                    offset, jac, bind.data,
+                    design=self._design_arg(bind)) + s.fprior
             f = jnp.where(s.conv.revert, f_rev, s.f)
         else:
             f = s.f

@@ -38,6 +38,25 @@ class WhiteNoiseState(NamedTuple):
     c: jnp.ndarray  # [Q, V]
 
 
+class DesignStats(NamedTuple):
+    """Sufficient statistics for fixed-design VB (no [T,V] traffic in
+    the iteration loop).
+
+    With a constant Jacobian J = D the linearization offset D@centre
+    cancels exactly in every update equation (k = y - D@means,
+    residual-in-theta-update = y), so the whole fixed point is a
+    function of the data only through these per-voxel reductions,
+    computed once per run. They are taken about a per-voxel ordinary-
+    least-squares reference point m0 so the quadratic k'Qk assembles
+    from residual-scale terms (raw y'Qy expansion would lose ~all
+    significant bits in float32 when fits are tight).
+    """
+    m0: jnp.ndarray    # [P,V]   OLS reference point
+    rtqr: jnp.ndarray  # [Q,V]   r0' Q_i r0,  r0 = y - D m0
+    dtqr: jnp.ndarray  # [Q,P,V] D' Q_i r0
+    dtqd: jnp.ndarray  # [Q,P,P] D' Q_i D
+
+
 def parse_noise_pattern(pattern, nt):
     """Expand a pattern string to a group index per timepoint.
 
@@ -240,6 +259,9 @@ class WhiteNoiseModel(NoiseModel):
         else:
             k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
         kqk, trace = self._group_quadratics(k, cov, jac, design)
+        return self._noise_from_quadratics(kqk, trace, noise_prior)
+
+    def _noise_from_quadratics(self, kqk, trace, noise_prior):
         new_b, new_c = [], []
         for i in range(self.nphis):
             tmp = kqk[i] + trace[i]
@@ -251,6 +273,98 @@ class WhiteNoiseModel(NoiseModel):
             new_b.append(b)
             new_c.append(c)
         return WhiteNoiseState(jnp.stack(new_b), jnp.stack(new_c))
+
+    # -- sufficient-statistics route (fixed design) -------------------------
+    def make_design_stats(self, design, data):
+        """One-time reductions for the fixed-design fast path.
+
+        design [T,P], data [T,V] -> DesignStats. Runs inside the jitted
+        loop (traced once, executed once per chunk); everything after it
+        is [P,V]-plane arithmetic.
+        """
+        from ..ops import smallmat as sm
+        dtype = data.dtype
+        q = jnp.asarray(self.qmasks, dtype)  # [Q,T]
+        dtqd = jnp.einsum("it,tp,tq->ipq", q, design, design)
+
+        # OLS reference point over unmasked timepoints; lanes where the
+        # normal matrix fails to factor fall back to m0 = 0 (raw
+        # expansion — still correct, just less cancellation headroom)
+        w = jnp.sum(q, axis=0)  # [T] 0/1
+        dty = (design * w[:, None]).T @ data  # [P,V]
+        chol, ok = sm.cholesky_jittered(jnp.sum(dtqd, axis=0)[:, :, None])
+        m0 = sm.solve_chol_vec(chol, dty)
+        m0 = jnp.where(ok & jnp.all(jnp.isfinite(m0), axis=0), m0, 0.0)
+
+        r0 = data - design @ m0  # [T,V]
+        rtqr = jnp.stack([jnp.sum(q[i][:, None] * r0 * r0, axis=0)
+                          for i in range(self.nphis)])
+        dtqr = jnp.stack([design.T @ (q[i][:, None] * r0)
+                          for i in range(self.nphis)])
+        return DesignStats(m0=m0, rtqr=rtqr, dtqr=dtqr, dtqd=dtqd)
+
+    def update_theta_stats(self, noise_post, prior_means, prior_prec,
+                           stats, lm_alpha=None, centre=None):
+        """Eq 19/20 from sufficient statistics: identical arithmetic to
+        update_theta(design=...) up to the exact cancellation of the
+        linearization offset (noisemodel_white.cc:275-363)."""
+        from ..ops import smallmat as sm
+        phim = gamma_mean(noise_post.b, noise_post.c)  # [Q,V]
+        ltmp = jnp.einsum("iab,iv->abv", stats.dtqd, phim)
+        # D'Q_i y = D'Q_i r0 + (D'Q_i D) m0
+        dtqy = stats.dtqr + jnp.einsum("iab,bv->iav", stats.dtqd, stats.m0)
+        m_tmp = jnp.einsum("iv,ipv->pv", phim, dtqy)
+
+        prec = sm.add_diag(ltmp, prior_prec)
+        chol, ok = sm.cholesky_jittered(prec)
+        cov = sm.inverse_from_chol(chol)
+        rhs = m_tmp + prior_prec * prior_means
+        new_means = sm.matvec_planes(cov, rhs)
+
+        if lm_alpha is not None:
+            # J'X(y - D centre) = sum_i phi_i (D'Q_i r0 - D'Q_i D (c-m0))
+            dc = centre - stats.m0
+            jxr = jnp.einsum(
+                "iv,ipv->pv", phim,
+                stats.dtqr - jnp.einsum("iab,bv->iav", stats.dtqd, dc))
+            delta = jxr + prior_prec * prior_means - prior_prec * centre
+            damped = sm.add_diag(prec, lm_alpha[None] * sm.diag_of(prec))
+            dchol, dok = sm.cholesky_jittered(damped)
+            lm_means = centre + sm.solve_chol_vec(dchol, delta)
+            use_lm = lm_alpha > 0.0
+            new_means = jnp.where(use_lm[None], lm_means, new_means)
+            ok = jnp.where(use_lm, dok, ok)
+        return new_means, prec, cov, ok
+
+    def _group_quadratics_stats(self, means, cov, stats):
+        """(k'Q_i k, tr(Sigma J'Q_i J)) from sufficient statistics:
+        k = y - D means = r0 - D (means - m0)."""
+        delta = means - stats.m0  # [P,V]
+        p = means.shape[0]
+        kqk, trace = [], []
+        for i in range(self.nphis):
+            cross = sum(delta[a] * stats.dtqr[i, a] for a in range(p))
+            quad = 0.0
+            tr = 0.0
+            for a in range(p):
+                for b in range(p):
+                    quad = quad + stats.dtqd[i, a, b] * delta[a] * delta[b]
+                    tr = tr + stats.dtqd[i, a, b] * cov[a, b]
+            # true k'Qk >= 0; clamp away the tiny negative rounding tail
+            kqk.append(jnp.maximum(stats.rtqr[i] - 2.0 * cross + quad, 0.0))
+            trace.append(tr)
+        return kqk, trace
+
+    def update_noise_stats(self, noise_post, noise_prior, means, cov, stats):
+        kqk, trace = self._group_quadratics_stats(means, cov, stats)
+        return self._noise_from_quadratics(kqk, trace, noise_prior)
+
+    def free_energy_stats(self, noise_post, noise_prior, means, prec, cov,
+                          prior_means, prior_prec, stats):
+        kqk, trace = self._group_quadratics_stats(means, cov, stats)
+        return self.free_energy_from_parts(
+            noise_post, noise_prior, means, prec, cov,
+            prior_means, prior_prec, kqk, trace)
 
     def free_energy(self, noise_post, noise_prior, means, prec, cov,
                     prior_means, prior_prec, centre, offset, jac, data,

@@ -73,6 +73,7 @@ def build_engine(config, nv):
                 + 0.1 * _randn(k2, (nv, nt))).astype(jnp.float32)
     elif config == "spatial":
         nt = 50
+        nv = max(1024, (nv // 1024) * 1024)  # full rows of the 2-D grid
         opts = {"model": "poly", "degree": "0", "noise": "white",
                 "method": "spatialvb", "param-spatial-priors": "M",
                 "spatial-dims": "2"}
@@ -135,8 +136,7 @@ def main():
             jax.block_until_ready(out.post.means)
             return out
 
-        windows = [(0, nv)]
-        return _measure(run_once, nv, iters, config,
+        return _measure(run_once, eng.nvoxels, iters, config,
                         "T=50, P=1 + MRF prior")
 
     # single-dispatch path: initial state + VB loop in one compiled

@@ -47,7 +47,11 @@ class ConvergenceDetector:
     def init_state(self, nvoxels, dtype, init_save=False):
         return ConvState(
             its=jnp.zeros(nvoxels, jnp.int32),
-            prev_f=jnp.full(nvoxels, -99e99, dtype),
+            # reference sentinel is -99e99 (convergence.h); clamp to the
+            # dtype's finite range so float32 doesn't overflow to -inf
+            prev_f=jnp.full(nvoxels,
+                            max(-99e99, float(jnp.finfo(dtype).min)),
+                            dtype),
             save=jnp.full(nvoxels, init_save, bool),
             revert=jnp.zeros(nvoxels, bool),
             done=jnp.zeros(nvoxels, bool),

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.neighbours import calc_neighbours
-from ..exceptions import InvalidOptionValue
 from ..models.base import (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
                            PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)
 from ..options import OptionSpec, OPT_INT, OPT_STR, OPT_BOOL, OPT_FLOAT
@@ -85,14 +84,13 @@ class SpatialVBInference(VBInference):
         self.q2 = options.get_float("spatial-q2", 1.0)
         self.max_its = options.get_int("max-iterations", 10, minval=1)
 
+        # method=spatialvb with all-N priors is legal in the reference
+        # (the golden outdata_linear_spatialvb run is exactly that): the
+        # iteration-major sweep runs with no cross-voxel coupling
         self.spatial_params = [
             (i, p.prior_type) for i, p in enumerate(self.params)
             if p.prior_type in (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
                                 PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)]
-        if not self.spatial_params:
-            raise InvalidOptionValue(
-                "param-spatial-priors", "",
-                "spatialvb requires at least one spatial prior type (MmPp)")
 
         neigh, neigh2 = calc_neighbours(np.asarray(coords),
                                         self.spatial_dims)
@@ -215,7 +213,11 @@ class SpatialVBInference(VBInference):
         # aK: updated at sweep start from previous sweep's posteriors
         # (skipped on sweep 0 unless update-first-iteration)
         do_update = (it > 0) | self.update_first_iter
-        ak = jnp.where(do_update, self._calculate_ak(post, active, bind), s.ak)
+        if self.spatial_params:
+            ak = jnp.where(do_update,
+                           self._calculate_ak(post, active, bind), s.ak)
+        else:
+            ak = s.ak
 
         # priors: non-spatial family first, spatial overrides
         prior_means, prior_prec, f_contribs = self.prior_setup.apply(

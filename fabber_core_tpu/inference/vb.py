@@ -50,6 +50,7 @@ class RunBindings(NamedTuple):
     locked_centres: Any = ()  # [P,V] fixed linearization centres
     neigh: Any = ()   # spatial mode: [V,6]
     neigh2: Any = ()  # spatial mode: [V,30]
+    fused_data: Any = ()  # [Tp,V] row-padded data for the Pallas kernel
 
 
 class PosteriorState(NamedTuple):
@@ -229,16 +230,16 @@ class VBInference:
         # inference_vb.cc:116 with no run_mc caller) not executed
         self.num_mcsteps = options.get_int("mcsteps", 0)
 
-        # Fused Pallas iteration: white noise / single phi group / no
-        # masked timepoints / time-local model / no LM or locked-linear.
+        # Fused Pallas iteration: white noise / time-local model / no
+        # locked-linear / f32 compute (Mosaic has no f64). Noise
+        # patterns, masked timepoints and LM damping are supported
+        # in-kernel via the static [Tp,Q] group-indicator matrix.
         kernel_mode = options.get_string("engine-kernel", "auto")
         eligible = (kernel_mode != "xla"
                     and getattr(self.noise, "name", "") == "white"
-                    and getattr(self.noise, "nphis", 0) == 1
-                    and not self.masked_tpoints
-                    and not self.is_lm
                     and not self.locked_linear
                     and lin_mode == "auto"
+                    and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
                     and hasattr(model, "time_signal"))
         if eligible and kernel_mode == "pallas":
             # explicit pallas request wins over the fixed-design route
@@ -281,12 +282,22 @@ class VBInference:
         base = self.prior_setup.base_means
         if base.shape[-1] == self.nvoxels:
             base = base[:, sl]
+        fused_data = ()
+        if getattr(self, "use_fused", False):
+            from ..ops.fused_vb import pad_time
+            tp = pad_time(self.nt)
+            d = self.data[:, sl]
+            # row-pad once per run (not per iteration); padded rows are
+            # zero-weighted by the kernel's group-indicator matrix
+            fused_data = d if tp == self.nt else jnp.pad(
+                d, ((0, tp - self.nt), (0, 0)), mode="edge")
         return RunBindings(
             data=self.data[:, sl], coords=self.coords[:, sl], supp=supp,
             prior_base_means=base,
             design=self.design if self.design is not None else (),
             locked_centres=self._locked_centres[:, sl]
-            if self._locked_centres is not None else ())
+            if self._locked_centres is not None else (),
+            fused_data=fused_data)
 
     def _recentre(self, means, bind):
         if self.locked_linear:
@@ -438,24 +449,26 @@ class VBInference:
         fused = make_fused_iteration(
             self.model.time_signal, [pm.transform for pm in self.params],
             nparams=self.nparams, nt=self.nt, nvoxels=nv + pad,
-            dtype=self.dtype, need_f=self.need_f, block=block,
-            interpret=self.fused_interpret)
-        phi = gamma_mean(post.noise.b, post.noise.c)[0]
-        means, prec, cov, tmp, kqkf, trf = fused(
+            dtype=self.dtype, need_f=self.need_f,
+            qmasks=self.noise.qmasks, block=block,
+            with_lm=self.is_lm, interpret=self.fused_interpret)
+        phi = gamma_mean(post.noise.b, post.noise.c)  # [Q,V]
+        alpha = pad_v(s.conv.alpha) if self.is_lm else None
+        means, prec, cov, nkqk, ntr, fkqk, ftr = fused(
             pad_v(s.centre), pad_v(prior_means), pad_v(prior_prec),
-            pad_v(phi), pad_v(bind.data))
+            pad_v(phi), pad_v(bind.fused_data), alpha)
         if pad:
-            means, prec, cov, tmp, kqkf, trf = (
+            means, prec, cov, nkqk, ntr, fkqk, ftr = (
                 means[..., :nv], prec[..., :nv], cov[..., :nv],
-                tmp[..., :nv], kqkf[..., :nv], trf[..., :nv])
+                nkqk[..., :nv], ntr[..., :nv], fkqk[..., :nv],
+                ftr[..., :nv])
 
-        # phi update (Eq 21/22) from the kernel's quadratic
-        b_new = 1.0 / (tmp * 0.5 + 1.0 / self.noise_prior.b[0])
-        c_new = jnp.full_like(
-            b_new, (float(self.noise.ntimes_per_group[0]) - 1) * 0.5) \
-            + self.noise_prior.c[0]
-        noise_post = post.noise._replace(b=b_new[None], c=c_new[None])
-        return means, prec, cov, noise_post, (kqkf, trf)
+        # phi update (Eq 21/22) from the kernel's per-group quadratics
+        nq = self.noise.nphis
+        noise_post = self.noise._noise_from_quadratics(
+            [nkqk[i] for i in range(nq)], [ntr[i] for i in range(nq)],
+            self.noise_prior)
+        return means, prec, cov, noise_post, (fkqk, ftr)
 
     # -- one iteration ----------------------------------------------------
     def _iteration(self, s, bind, stats=None):
@@ -511,9 +524,12 @@ class VBInference:
         # 6. Free energy at the new linearization (only the final
         #    per-iteration value is observable; see module docstring)
         if self.need_f and self.use_fused:
+            nq = self.noise.nphis
             f = self.noise.free_energy_from_parts(
                 noise_post, self.noise_prior, means, prec, cov,
-                prior_means, prior_prec, [fparts[0]], [fparts[1]])
+                prior_means, prior_prec,
+                [fparts[0][i] for i in range(nq)],
+                [fparts[1][i] for i in range(nq)])
             f = f + fprior
         elif self.need_f and stats is not None:
             f = self.noise.free_energy_stats(

@@ -4,23 +4,32 @@ For nonlinear models whose signal at time t depends only on the
 parameters and t (exp/biexp family), the whole VB iteration runs as ONE
 Pallas kernel per voxel tile:
 
-    pass A (t-loop): evaluate the model and its Jacobian at the current
-        linearization centre via in-kernel jvp, accumulating
-        J'J [P,P], J'r [P] per tile while staging J and r in VMEM;
-    solve: Lambda = phi*J'J + diag(prior_prec); unrolled Cholesky ->
-        covariance -> new means (identical arithmetic to
-        ops/smallmat.py);
-    pass B (t-loop): k = r + J(centre - means) read back from VMEM;
-        k'k and tr(Sigma J'J) -> phi update (Eq 21/22);
-    pass C (t-loop, only when F is needed): evaluate at the NEW means,
-        accumulating k'k and tr(J'QJ Sigma) for the free energy (the
-        digamma/gammaln assembly stays outside).
+    pass A (time-blocked loop): evaluate the model and its Jacobian at
+        the current linearization centre via in-kernel jvp, TB=8
+        timepoints per step (full 8x128 VPU tiles), accumulating
+        per-noise-group J'Q_iJ [P,P] and J'Q_i r [P] while staging
+        J and r in VMEM;
+    solve: Lambda = sum_i phi_i J'Q_iJ + diag(prior_prec); unrolled
+        Cholesky -> covariance -> new means (identical arithmetic to
+        ops/smallmat.py); optional LM-damped update when the lm
+        convergence detector is active;
+    pass B (time-blocked): k = r + J(centre - means) read back from
+        VMEM; per-group k'Q_ik; with tr(Sigma J'Q_iJ) -> phi updates
+        (Eq 21/22, assembled outside);
+    pass C (time-blocked, only when F is needed): evaluate at the NEW
+        means, accumulating per-group k'Q_ik and tr(Sigma J'Q_iJ) for
+        the free energy (the digamma/gammaln assembly stays outside).
 
 Nothing [T,V]- or [P,T,V]-shaped ever touches HBM except the data
-read: the Jacobian lives only in VMEM scratch per 8x128-voxel tile.
+read: the Jacobian lives only in VMEM scratch per voxel tile.
 
-Restrictions (callers gate on these): white noise, single phi group,
-no masked timepoints, no LM damping, identity/elementwise transforms.
+Noise patterns (multiple phi groups) and masked timepoints are carried
+by a static [Tp,Q] group-indicator matrix (masked/padded timepoints
+belong to no group, so they contribute to nothing). The time axis is
+padded to a multiple of TB; padded rows have all-zero indicators.
+
+Remaining restrictions (callers gate on these): white noise,
+float32 compute, no locked-linearization centres.
 """
 
 import jax
@@ -30,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+TB = 8  # timepoints per kernel loop step (f32 sublane count)
 DEFAULT_BLOCK = 1024  # voxels per tile
 
 
@@ -38,36 +48,49 @@ def _tri(p):
     return [(i, j) for i in range(p) for j in range(i + 1)]
 
 
+def pad_time(nt):
+    """Padded time length (multiple of TB)."""
+    return ((nt + TB - 1) // TB) * TB
+
+
 def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
-                         dtype, need_f, block=DEFAULT_BLOCK,
-                         interpret=False):
+                         dtype, need_f, qmasks, block=DEFAULT_BLOCK,
+                         with_lm=False, interpret=False):
     """Build the fused iteration callable.
 
-    time_signal(model_params [P] list of [1,B] planes, t scalar) ->
-    [1,B] signal plane (jax-traceable; runs inside the kernel).
+    time_signal(model_params [P] list of [1,B] planes, t [TB,1]) ->
+    [TB,B] signal plane (jax-traceable; runs inside the kernel; must
+    broadcast over the time axis).
     transforms: per-parameter Transform objects (latent -> model).
+    qmasks: numpy [Q,T] 0/1 group indicators (masked timepoints in no
+    group).
 
     Returns fn(centre [P,V], prior_means [P,V], prior_prec [P,V],
-               phi_mean [V], data [T,V])
+               phi_mean [Q,V], data [Tp,V], lm_alpha [V] or None)
         -> (means [P,V], prec [P,P,V], cov [P,P,V],
-            noise_tmp [V], kqk_f [V], trace_f [V])
-    where noise_tmp = k'Qk + tr(Sigma J'QJ) for the phi update and
-    kqk_f/trace_f are the free-energy quadratics at the new means
-    (zeros when need_f is False).
+            noise_kqk [Q,V], noise_tr [Q,V], f_kqk [Q,V], f_tr [Q,V])
+    where noise_kqk/noise_tr are k'Q_ik and tr(Sigma J'Q_iJ) at the
+    centre linearization (for the phi update) and f_kqk/f_tr the same
+    quadratics at the new means (zeros when need_f is False).
     """
     p = nparams
     tri = _tri(p)
     ntri = len(tri)
+    nq = qmasks.shape[0]
+    tp = pad_time(nt)
+    ntb = tp // TB
+    # static [Tp, Q] indicator (padded rows zero)
+    qm_host = np.zeros((tp, nq), dtype=np.float32)
+    qm_host[:nt, :] = np.asarray(qmasks, np.float32).T
 
     def to_model(latent_rows):
         return [tr.to_model(latent_rows[i]) for i, tr in enumerate(transforms)]
 
-    def signal_and_jac(latent_rows, t):
-        """Signal [1,B] and its latent-space Jacobian rows (P x [1,B])."""
-        # cast the loop index to the compute dtype: under x64, int *
-        # python-float promotes to f64, which Mosaic rejects
-        tf = t.astype(dtype) if hasattr(t, "astype") else jnp.asarray(
-            t, dtype)
+    def signal_and_jac(latent_rows, t0):
+        """Signal [TB,B] and latent-space Jacobian rows (P x [TB,B])
+        for the time block starting at t0."""
+        tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
+        tf = tidx.astype(dtype)
 
         def f(stack):
             rows = [stack[i:i + 1] for i in range(p)]
@@ -87,33 +110,58 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             jrows.append(f_jvp(basis))
         return sig, jrows
 
-    def kernel(centre_ref, pm_ref, pp_ref, phi_ref, data_ref,
-               means_out, prec_out, cov_out, tmp_out, kqkf_out, trf_out,
-               jsc, rsc):
+    def kernel(*refs):
+        if with_lm:
+            (centre_ref, pm_ref, pp_ref, phi_ref, data_ref, qm_ref,
+             alpha_ref, means_out, prec_out, cov_out, nkqk_out, ntr_out,
+             fkqk_out, ftr_out, jsc, rsc) = refs
+        else:
+            (centre_ref, pm_ref, pp_ref, phi_ref, data_ref, qm_ref,
+             means_out, prec_out, cov_out, nkqk_out, ntr_out,
+             fkqk_out, ftr_out, jsc, rsc) = refs
         b = centre_ref.shape[-1]
         centre = [centre_ref[i:i + 1] for i in range(p)]
 
-        # ---- pass A: accumulate J'J and J'r at the centre -------------
-        def body_a(t, carry):
-            jtj, jtr = carry
-            sig, jrows = signal_and_jac(centre, t)
-            r = data_ref[pl.ds(t, 1), :] - sig
-            rsc[pl.ds(t, 1), :] = r
-            for i in range(p):
-                jsc[pl.ds(jnp.int32(i * nt) + t, 1), :] = jrows[i]
-            jtr = jtr + jnp.concatenate([jrows[i] * r for i in range(p)], 0)
-            jtj = jtj + jnp.concatenate(
-                [jrows[i] * jrows[j] for i, j in tri], 0)
-            return jtj, jtr
+        def qw(qi, t0):
+            """Group-i indicator column for the block at t0: [TB,1]."""
+            return qm_ref[pl.ds(t0, TB), qi:qi + 1]
 
-        jtj0 = jnp.zeros((ntri, b), dtype)
-        jtr0 = jnp.zeros((p, b), dtype)
-        jtj, jtr = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nt),
-                                     body_a, (jtj0, jtr0))
+        def rsum(x):
+            """Reduce a [TB,B] block over time -> [1,B]."""
+            return jnp.sum(x, axis=0, keepdims=True)
 
-        phi = phi_ref[0:1]
+        # ---- pass A: per-group J'Q_iJ, J'Q_i r at the centre ----------
+        def body_a(tb, carry):
+            jtjq, jtrq = carry  # [Q*ntri,B], [Q*P,B]
+            t0 = tb * jnp.int32(TB)
+            sig, jrows = signal_and_jac(centre, t0)
+            r = data_ref[pl.ds(t0, TB), :] - sig
+            rsc[pl.ds(t0, TB), :] = r
+            for a in range(p):
+                jsc[pl.ds(jnp.int32(a * tp) + t0, TB), :] = jrows[a]
+            add_jtj, add_jtr = [], []
+            for qi in range(nq):
+                w = qw(qi, t0)
+                for i, j in tri:
+                    add_jtj.append(rsum(w * jrows[i] * jrows[j]))
+                for a in range(p):
+                    add_jtr.append(rsum(w * jrows[a] * r))
+            return (jtjq + jnp.concatenate(add_jtj, 0),
+                    jtrq + jnp.concatenate(add_jtr, 0))
 
-        # ---- solve: prec = phi*J'J + diag(prior_prec) -----------------
+        jtjq0 = jnp.zeros((nq * ntri, b), dtype)
+        jtrq0 = jnp.zeros((nq * p, b), dtype)
+        jtjq, jtrq = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb),
+                                       body_a, (jtjq0, jtrq0))
+
+        phis = [phi_ref[qi:qi + 1] for qi in range(nq)]
+
+        def at_q(mat, qi, i, j):
+            i, j = max(i, j), min(i, j)
+            row = qi * ntri + tri.index((i, j))
+            return mat[row:row + 1]
+
+        # ---- solve: prec = sum_i phi_i J'Q_iJ + diag(prior_prec) ------
         # unrolled Cholesky on triangular-plane storage (same arithmetic
         # as ops/smallmat.py)
         def at(mat, i, j):
@@ -122,52 +170,67 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
 
         prec = []
         for i, j in tri:
-            v = phi * at(jtj, i, j)
+            v = 0.0
+            for qi in range(nq):
+                v = v + phis[qi] * at_q(jtjq, qi, i, j)
             if i == j:
                 v = v + pp_ref[i:i + 1]
             prec.append(v)
         prec = jnp.concatenate(prec, 0)
 
-        chol = [None] * ntri
-        for i in range(p):
-            s = at(prec, i, i)
-            for k in range(i):
-                s = s - chol[tri.index((i, k))] ** 2
-            chol[tri.index((i, i))] = jnp.sqrt(s)
-            inv_d = 1.0 / chol[tri.index((i, i))]
-            for j in range(i + 1, p):
-                s = at(prec, j, i)
+        def chol_planes(a_at):
+            """Unrolled Cholesky; a_at(i,j) -> [1,B] plane. Returns the
+            factor as a tri-indexed list."""
+            ch = [None] * ntri
+            for i in range(p):
+                s = a_at(i, i)
                 for k in range(i):
-                    s = s - chol[tri.index((j, k))] * chol[tri.index((i, k))]
-                chol[tri.index((j, i))] = s * inv_d
+                    s = s - ch[tri.index((i, k))] ** 2
+                ch[tri.index((i, i))] = jnp.sqrt(s)
+                inv_d = 1.0 / ch[tri.index((i, i))]
+                for j in range(i + 1, p):
+                    s = a_at(j, i)
+                    for k in range(i):
+                        s = s - ch[tri.index((j, k))] * ch[tri.index((i, k))]
+                    ch[tri.index((j, i))] = s * inv_d
+            return ch
+
+        chol = chol_planes(lambda i, j: at(prec, i, j))
 
         # inverse from the Cholesky factor (lower-tri inverse then
         # A^-1 = L^-T L^-1), plane arithmetic
-        invl = {}
-        for i in range(p):
-            invl[(i, i)] = 1.0 / chol[tri.index((i, i))]
-        for i in range(p):
-            for j in range(i - 1, -1, -1):
-                s = 0.0
-                for k in range(j + 1, i + 1):
-                    s = s + chol[tri.index((k, j))] * invl[(i, k)]
-                invl[(i, j)] = -s / chol[tri.index((j, j))]
-        cov = {}
-        for i in range(p):
-            for j in range(i + 1):
-                s = 0.0
-                for k in range(i, p):
-                    s = s + invl[(k, i)] * invl[(k, j)]
-                cov[(i, j)] = s
-                cov[(j, i)] = s
+        def inv_from_chol(ch):
+            invl = {}
+            for i in range(p):
+                invl[(i, i)] = 1.0 / ch[tri.index((i, i))]
+            for i in range(p):
+                for j in range(i - 1, -1, -1):
+                    s = 0.0
+                    for k in range(j + 1, i + 1):
+                        s = s + ch[tri.index((k, j))] * invl[(i, k)]
+                    invl[(i, j)] = -s / ch[tri.index((j, j))]
+            cv = {}
+            for i in range(p):
+                for j in range(i + 1):
+                    s = 0.0
+                    for k in range(i, p):
+                        s = s + invl[(k, i)] * invl[(k, j)]
+                    cv[(i, j)] = s
+                    cv[(j, i)] = s
+            return cv
+
+        cov = inv_from_chol(chol)
 
         # ---- means update (Eq 20) -------------------------------------
         rhs = []
-        for i in range(p):
-            v = jtr[i:i + 1]
-            for j in range(p):
-                v = v + at(jtj, i, j) * centre[j]
-            v = phi * v + pp_ref[i:i + 1] * pm_ref[i:i + 1]
+        for a in range(p):
+            v = 0.0
+            for qi in range(nq):
+                gi = jtrq[qi * p + a:qi * p + a + 1]
+                for j in range(p):
+                    gi = gi + at_q(jtjq, qi, a, j) * centre[j]
+                v = v + phis[qi] * gi
+            v = v + pp_ref[a:a + 1] * pm_ref[a:a + 1]
             rhs.append(v)
         means = []
         for i in range(p):
@@ -176,22 +239,59 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
                 v = v + cov[(i, j)] * rhs[j]
             means.append(v)
 
-        # ---- pass B: k'k with k = r + J(centre - means) ---------------
-        delta = [centre[i] - means[i] for i in range(p)]
-
-        def body_b(t, kqk):
-            k = rsc[pl.ds(t, 1), :]
+        if with_lm:
+            # LM-damped update (noisemodel_white.cc:330-354): solve
+            # (Lambda + alpha diag Lambda) dm = J'X r + L0 m0 - L0 c
+            alpha = alpha_ref[0:1]
+            delta = []
+            for a in range(p):
+                v = 0.0
+                for qi in range(nq):
+                    v = v + phis[qi] * jtrq[qi * p + a:qi * p + a + 1]
+                v = v + pp_ref[a:a + 1] * (pm_ref[a:a + 1] - centre[a])
+                delta.append(v)
+            dchol = chol_planes(
+                lambda i, j: at(prec, i, j) + (alpha * at(prec, i, i)
+                                               if i == j else 0.0))
+            # solve L L^T x = delta by fwd/back substitution
+            y = [None] * p
             for i in range(p):
-                k = k + jsc[pl.ds(jnp.int32(i * nt) + t, 1), :] * delta[i]
-            return kqk + k * k
+                s = delta[i]
+                for k in range(i):
+                    s = s - dchol[tri.index((i, k))] * y[k]
+                y[i] = s / dchol[tri.index((i, i))]
+            x = [None] * p
+            for i in reversed(range(p)):
+                s = y[i]
+                for k in range(i + 1, p):
+                    s = s - dchol[tri.index((k, i))] * x[k]
+                x[i] = s / dchol[tri.index((i, i))]
+            use_lm = alpha > 0.0
+            means = [jnp.where(use_lm, centre[i] + x[i], means[i])
+                     for i in range(p)]
 
-        kqk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nt), body_b,
-                                jnp.zeros((1, b), dtype))
-        trace = 0.0
-        for i in range(p):
-            for j in range(p):
-                trace = trace + cov[(i, j)] * at(jtj, i, j)
-        tmp_out[:] = kqk + trace
+        # ---- pass B: per-group k'Q_ik, k = r + J(centre - means) ------
+        delta_cm = [centre[i] - means[i] for i in range(p)]
+
+        def body_b(tb, kqk):
+            t0 = tb * jnp.int32(TB)
+            k = rsc[pl.ds(t0, TB), :]
+            for i in range(p):
+                k = k + jsc[pl.ds(jnp.int32(i * tp) + t0, TB), :] * delta_cm[i]
+            k2 = k * k
+            return jnp.concatenate(
+                [kqk[qi:qi + 1] + rsum(qw(qi, t0) * k2)
+                 for qi in range(nq)], 0)
+
+        nkqk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb), body_b,
+                                 jnp.zeros((nq, b), dtype))
+        ntr_rows = []
+        for qi in range(nq):
+            tr = 0.0
+            for i in range(p):
+                for j in range(p):
+                    tr = tr + cov[(i, j)] * at_q(jtjq, qi, i, j)
+            ntr_rows.append(tr)
 
         # ---- outputs --------------------------------------------------
         for i in range(p):
@@ -200,30 +300,42 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             for j in range(p):
                 prec_out[i * p + j:i * p + j + 1] = at(prec, i, j)
                 cov_out[i * p + j:i * p + j + 1] = cov[(i, j)]
+        nkqk_out[:] = nkqk
+        ntr_out[:] = jnp.concatenate(ntr_rows, 0)
 
         # ---- pass C: free-energy quadratics at the NEW means ----------
         if need_f:
-            def body_c(t, carry):
-                kqk2, jtj2 = carry
-                sig, jrows = signal_and_jac(means, t)
-                k2 = data_ref[pl.ds(t, 1), :] - sig
-                kqk2 = kqk2 + k2 * k2
-                jtj2 = jtj2 + jnp.concatenate(
-                    [jrows[i] * jrows[j] for i, j in tri], 0)
-                return kqk2, jtj2
+            def body_c(tb, carry):
+                kqk2, jtjq2 = carry
+                t0 = tb * jnp.int32(TB)
+                sig, jrows = signal_and_jac(means, t0)
+                kblk = data_ref[pl.ds(t0, TB), :] - sig
+                k2 = kblk * kblk
+                add_kqk, add_jtj = [], []
+                for qi in range(nq):
+                    w = qw(qi, t0)
+                    add_kqk.append(rsum(w * k2))
+                    for i, j in tri:
+                        add_jtj.append(rsum(w * jrows[i] * jrows[j]))
+                return (kqk2 + jnp.concatenate(add_kqk, 0),
+                        jtjq2 + jnp.concatenate(add_jtj, 0))
 
-            kqk2, jtj2 = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(nt), body_c,
-                (jnp.zeros((1, b), dtype), jnp.zeros((ntri, b), dtype)))
-            tr2 = 0.0
-            for i in range(p):
-                for j in range(p):
-                    tr2 = tr2 + cov[(i, j)] * at(jtj2, i, j)
-            kqkf_out[:] = kqk2
-            trf_out[:] = tr2
+            kqk2, jtjq2 = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(ntb), body_c,
+                (jnp.zeros((nq, b), dtype),
+                 jnp.zeros((nq * ntri, b), dtype)))
+            ftr_rows = []
+            for qi in range(nq):
+                tr2 = 0.0
+                for i in range(p):
+                    for j in range(p):
+                        tr2 = tr2 + cov[(i, j)] * at_q(jtjq2, qi, i, j)
+                ftr_rows.append(tr2)
+            fkqk_out[:] = kqk2
+            ftr_out[:] = jnp.concatenate(ftr_rows, 0)
         else:
-            kqkf_out[:] = jnp.zeros((1, b), dtype)
-            trf_out[:] = jnp.zeros((1, b), dtype)
+            fkqk_out[:] = jnp.zeros((nq, b), dtype)
+            ftr_out[:] = jnp.zeros((nq, b), dtype)
 
     grid = (nvoxels // block,)
 
@@ -233,37 +345,47 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
         return pl.BlockSpec((rows, block), lambda i: (np.int32(0), i),
                             memory_space=pltpu.VMEM)
 
-    def out_spec(rows):
-        return pl.BlockSpec((rows, block), lambda i: (np.int32(0), i),
+    def fixed_spec(rows, cols):
+        return pl.BlockSpec((rows, cols),
+                            lambda i: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
+
+    in_specs = [vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(nq),
+                vox_spec(tp), fixed_spec(tp, nq)]
+    if with_lm:
+        in_specs.append(vox_spec(1))
 
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(1),
-                  vox_spec(nt)],
-        out_specs=(out_spec(p), out_spec(p * p), out_spec(p * p),
-                   out_spec(1), out_spec(1), out_spec(1)),
+        in_specs=in_specs,
+        out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
+                   vox_spec(nq), vox_spec(nq), vox_spec(nq), vox_spec(nq)),
         out_shape=(
             jax.ShapeDtypeStruct((p, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
-            jax.ShapeDtypeStruct((1, nvoxels), dtype),
-            jax.ShapeDtypeStruct((1, nvoxels), dtype),
-            jax.ShapeDtypeStruct((1, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((p * nt, block), dtype),  # staged Jacobian
-            pltpu.VMEM((nt, block), dtype),      # staged residual
+            pltpu.VMEM((p * tp, block), dtype),  # staged Jacobian
+            pltpu.VMEM((tp, block), dtype),      # staged residual
         ],
         interpret=interpret,
     )
 
-    def run(centre, prior_means, prior_prec, phi_mean, data):
-        means, prec_f, cov_f, tmp, kqkf, trf = call(
-            centre, prior_means, prior_prec, phi_mean[None, :], data)
+    def run(centre, prior_means, prior_prec, phi_mean, data_padded,
+            lm_alpha=None):
+        qm = jnp.asarray(qm_host, dtype)
+        args = [centre, prior_means, prior_prec, phi_mean, data_padded, qm]
+        if with_lm:
+            args.append(lm_alpha[None, :])
+        means, prec_f, cov_f, nkqk, ntr, fkqk, ftr = call(*args)
         prec = prec_f.reshape(p, p, nvoxels)
         cov = cov_f.reshape(p, p, nvoxels)
-        return means, prec, cov, tmp[0], kqkf[0], trf[0]
+        return means, prec, cov, nkqk, ntr, fkqk, ftr
 
     return run

@@ -1,5 +1,11 @@
 """Fused Pallas VB iteration: interpret-mode equivalence with the XLA
-engine, padding path, and gating."""
+engine, padding path, and gating.
+
+The v2 kernel processes TB=8 timepoints per step and supports noise
+patterns (multiple phi groups), masked timepoints and LM damping via a
+static [Tp,Q] group-indicator matrix; each case is pinned against the
+XLA route here.
+"""
 
 import numpy as np
 import pytest
@@ -27,28 +33,44 @@ def make_engine(nv, mode, extra=None, seed=0, nt=24):
     return eng
 
 
+def assert_match(rx, rp, mean_rtol=2e-4):
+    np.testing.assert_allclose(rx.means, rp.means, rtol=mean_rtol, atol=1e-5)
+    if rx.free_energy is not None:
+        np.testing.assert_allclose(rx.free_energy, rp.free_energy,
+                                   rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(rx.noise_means, rp.noise_means, rtol=2e-3)
+    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+
+
 @pytest.mark.parametrize("nv", [256, 200])  # 200 exercises edge padding
 def test_pallas_matches_xla_end_to_end(nv):
     rx = make_engine(nv, "xla").run()
     eng = make_engine(nv, "pallas")
     assert eng.use_fused
     rp = eng.run()
-    np.testing.assert_allclose(rx.means, rp.means, rtol=2e-4, atol=1e-5)
-    np.testing.assert_allclose(rx.free_energy, rp.free_energy,
-                               rtol=1e-4, atol=2e-3)
-    np.testing.assert_allclose(rx.noise_means, rp.noise_means, rtol=1e-3)
-    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+    assert_match(rx, rp)
+
+
+# nt=25 also exercises the time-padding path (Tp=32)
+@pytest.mark.parametrize("name,extra,nt", [
+    ("two-group-pattern", {"noise-pattern": "12"}, 24),
+    ("masked-tpoints", {"mt1": "3", "mt2": "17"}, 25),
+    ("lm-detector", {"convergence": "lm"}, 25),
+], ids=["pattern", "masked", "lm"])
+def test_pallas_extended_cases(name, extra, nt):
+    rx = make_engine(192, "xla", extra, nt=nt).run()
+    eng = make_engine(192, "pallas", extra, nt=nt)
+    assert eng.use_fused, name
+    rp = eng.run()
+    assert_match(rx, rp, mean_rtol=5e-4)
 
 
 def test_gating():
-    # LM detector is not kernel-eligible
-    eng = make_engine(64, "pallas", {"convergence": "lm"})
+    # f64 compute is not kernel-eligible (Mosaic has no f64)
+    eng = make_engine(64, "pallas", {"dtype": "double"})
     assert not eng.use_fused
-    # masked timepoints are not kernel-eligible
-    eng = make_engine(64, "pallas", {"convergence": "trialmode", "mt1": "2"})
-    assert not eng.use_fused
-    # multi-group noise patterns are not kernel-eligible
-    eng = make_engine(64, "pallas", {"noise-pattern": "12"})
+    # xla mode forces the generic route
+    eng = make_engine(64, "xla")
     assert not eng.use_fused
     # on CPU, auto mode stays on the XLA route
     eng = make_engine(64, "auto")

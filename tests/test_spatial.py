@@ -284,3 +284,40 @@ class TestSpatialSharded:
 
         np.testing.assert_allclose(res_sharded.means, res_single.means,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestSpatialAllNonspatial:
+    """method=spatialvb with all-N priors is legal in the reference —
+    the golden outdata_linear_spatialvb run uses exactly that — and
+    must match voxelwise VB (no cross-voxel coupling, same updates,
+    same fixed iteration budget)."""
+
+    def test_all_n_matches_voxelwise(self):
+        import numpy as np
+        from fabber_core_tpu.options import RunOptions
+        from fabber_core_tpu.models import get_model_class
+        from fabber_core_tpu.inference.vb import VBInference
+        from fabber_core_tpu.inference.spatial import SpatialVBInference
+
+        rng = np.random.default_rng(4)
+        nx, ny = 6, 5
+        nv, nt = nx * ny, 20
+        t = np.arange(1, nt + 1, dtype=float)
+        data = 2.0 + 0.1 * t[None, :] + rng.normal(0, 0.3, (nv, nt))
+        coords = np.array([[x, y, 0] for y in range(ny) for x in range(nx)],
+                          float)
+        base = {"model": "poly", "degree": "1", "noise": "white",
+                "max-iterations": "10"}
+
+        so = RunOptions({**base, "method": "spatialvb",
+                         "param-spatial-priors": "N+", "spatial-dims": "2"})
+        se = SpatialVBInference(get_model_class("poly")(so), so, data, coords)
+        assert se.spatial_params == []
+        rs = se.run()
+
+        vo = RunOptions({**base, "convergence": "maxits"})
+        ve = VBInference(get_model_class("poly")(vo), vo, data, coords)
+        rv = ve.run()
+
+        np.testing.assert_allclose(rs.means, rv.means, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(rs.noise_means, rv.noise_means, rtol=1e-8)

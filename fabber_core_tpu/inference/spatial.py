@@ -69,6 +69,11 @@ class SpatialVBInference(VBInference):
                        "Prior Gamma scale for aK", default="10.0"),
             OptionSpec("spatial-q2", OPT_FLOAT,
                        "Prior Gamma shape for aK", default="1.0"),
+            OptionSpec("spatial-sweep-mode", OPT_STR,
+                       "jacobi (parallel; deterministic under sharding) "
+                       "or gauss-seidel (the reference's sequential "
+                       "in-place voxel ordering; single-device parity "
+                       "mode)", default="jacobi"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -83,6 +88,11 @@ class SpatialVBInference(VBInference):
         self.q1 = options.get_float("spatial-q1", 10.0)
         self.q2 = options.get_float("spatial-q2", 1.0)
         self.max_its = options.get_int("max-iterations", 10, minval=1)
+        self.sweep_mode = options.get_string("spatial-sweep-mode", "jacobi")
+        if self.sweep_mode not in ("jacobi", "gauss-seidel"):
+            from ..exceptions import InvalidOptionValue
+            raise InvalidOptionValue("spatial-sweep-mode", self.sweep_mode,
+                                     "Must be jacobi or gauss-seidel")
 
         # method=spatialvb with all-N priors is legal in the reference
         # (the golden outdata_linear_spatialvb run is exactly that): the
@@ -203,6 +213,116 @@ class SpatialVBInference(VBInference):
             prior_prec = prior_prec.at[k].set(new_prec.astype(dtype))
         return prior_means, prior_prec
 
+    def _spatial_prior_voxel(self, v, k, tcode, means_k, ak_k, active, bind):
+        """Spatial prior (mean, precision) for one voxel/parameter from
+        the CURRENT means plane — the scalar core of
+        _apply_spatial_priors, used by the Gauss-Seidel sweep."""
+        sd = self.spatial_dims
+        dtype = self.dtype
+
+        def gather(idx_row):
+            valid = idx_row >= 0
+            safe = jnp.maximum(idx_row, 0)
+            w = (valid & active[safe]).astype(dtype)
+            return jnp.sum(means_k[safe] * w), jnp.sum(w)
+
+        contrib_nn, nn = gather(bind.neigh[v])
+        nsum2, nn2 = gather(bind.neigh2[v])
+        contrib_nn2 = -nsum2
+
+        if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+            nn = jnp.asarray(2 * sd, dtype)
+            nn2 = jnp.asarray(4 * sd * sd - 2 * sd, dtype)
+
+        base_mean = self.params[k].prior.mean
+        base_prec = self.params[k].prior.prec
+
+        if tcode == PRIOR_SPATIAL_M:
+            spatial_prec = ak_k * (nn + MRF_JITTER)
+        elif tcode == PRIOR_SPATIAL_m:
+            spatial_prec = ak_k * nn
+        else:  # P/p
+            spatial_prec = ak_k * (nn * nn + nn)
+
+        if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+            new_prec = spatial_prec
+        else:
+            new_prec = base_prec + spatial_prec
+
+        if tcode in (PRIOR_SPATIAL_m, PRIOR_SPATIAL_M):
+            spatial_mean = contrib_nn / jnp.maximum(nn, 1e-30)
+            new_mean = (1.0 / new_prec) * spatial_prec * spatial_mean
+        else:
+            denom = 8.0 * nn - nn2
+            spatial_mean = jnp.where(
+                nn != 0,
+                (8.0 * contrib_nn + contrib_nn2)
+                / jnp.where(denom != 0, denom, 1.0), 0.0)
+            new_mean = (1.0 / new_prec) * (
+                spatial_prec * spatial_mean + base_prec * base_mean)
+        return new_mean.astype(dtype), new_prec.astype(dtype)
+
+    def _phase_a_gs(self, s, bind, stats, prior_means0, prior_prec0,
+                    active, ak, lin=None):
+        """Sequential prior+theta pass in the reference's voxel order
+        (inference_vb.cc:614-672): voxel v's spatial prior reads the
+        ALREADY-UPDATED posteriors of voxels < v. lax.scan over voxels;
+        O(V) sequential steps — a single-device parity mode, not the
+        production path."""
+        from ..noise.white import DesignStats
+
+        post = s.post
+        noise_post = post.noise
+
+        def slice_v(x, v):
+            return jax.lax.dynamic_slice_in_dim(x, v, 1, axis=-1)
+
+        def body(carry, v):
+            means, prec, cov, pm, pp = carry
+            pm_v = slice_v(pm, v)  # [P,1]
+            pp_v = slice_v(pp, v)
+            for slot, (k, tcode) in enumerate(self.spatial_params):
+                nm, npv = self._spatial_prior_voxel(
+                    v, k, tcode, means[k], ak[slot], active, bind)
+                pm_v = pm_v.at[k, 0].set(nm)
+                pp_v = pp_v.at[k, 0].set(npv)
+
+            noise_v = jax.tree_util.tree_map(
+                lambda x: slice_v(x, v), noise_post)
+            if stats is not None:
+                stats_v = DesignStats(
+                    m0=slice_v(stats.m0, v), rtqr=slice_v(stats.rtqr, v),
+                    dtqr=slice_v(stats.dtqr, v), dtqd=stats.dtqd)
+                m_v, prec_v, cov_v, _ok = self.noise.update_theta_stats(
+                    noise_v, pm_v, pp_v, stats_v)
+            else:
+                offset_c, jac_c = lin
+                # jac_c is () on the fixed-design route (J = design)
+                jac_v = slice_v(jac_c, v) if self.design is None else ()
+                m_v, prec_v, cov_v, _ok = self.noise.update_theta(
+                    noise_v, slice_v(means, v), pm_v, pp_v,
+                    slice_v(s.centre, v), slice_v(offset_c, v),
+                    jac_v, slice_v(bind.data, v), None,
+                    design=self._design_arg(bind))
+
+            # frozen (excised) voxels keep their pre-sweep state
+            upd = active[v]
+            def put(full, new_col, old_col):
+                col = jnp.where(upd, new_col, old_col)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    full, col, v, axis=-1)
+            means = put(means, m_v, slice_v(means, v))
+            prec = put(prec, prec_v, slice_v(prec, v))
+            cov = put(cov, cov_v, slice_v(cov, v))
+            pm = put(pm, pm_v, slice_v(pm, v))
+            pp = put(pp, pp_v, slice_v(pp, v))
+            return (means, prec, cov, pm, pp), None
+
+        init = (post.means, post.prec, post.cov, prior_means0, prior_prec0)
+        (means, prec, cov, pm, pp), _ = jax.lax.scan(
+            body, init, jnp.arange(self.nvoxels, dtype=jnp.int32))
+        return means, prec, cov, pm, pp
+
     # -- sweep ------------------------------------------------------------
     def _sweep(self, it, s, bind, stats=None):
         active = ~s.bad
@@ -219,22 +339,37 @@ class SpatialVBInference(VBInference):
         else:
             ak = s.ak
 
-        # priors: non-spatial family first, spatial overrides
+        # priors: non-spatial family first (voxel-local, reads only
+        # pre-sweep state in both sweep modes), spatial overrides
         prior_means, prior_prec, f_contribs = self.prior_setup.apply(
             post.prior_means, post.prior_prec, post.means,
             sm.diag_of(post.cov), it, base_means=bind.prior_base_means)
-        prior_means, prior_prec = self._apply_spatial_priors(
-            post, prior_means, prior_prec, ak, active, bind)
         # spatial mode *sums* prior F contributions (inference_vb.cc:630)
         fprior = jnp.sum(f_contribs, axis=0)
 
-        # theta update (phase A), then noise + relinearize (phase B)
-        if stats is not None:
+        # phase A (priors + theta), then noise + relinearize (phase B)
+        if self.sweep_mode == "gauss-seidel":
+            means, prec, cov, prior_means, prior_prec = self._phase_a_gs(
+                s, bind, stats, prior_means, prior_prec, active, ak,
+                lin=None if stats is not None else (offset_c, jac_c))
+            if stats is not None:
+                noise_post = self.noise.update_noise_stats(
+                    post.noise, self.noise_prior, means, cov, stats)
+            else:
+                noise_post = self.noise.update_noise(
+                    post.noise, self.noise_prior, means, cov,
+                    s.centre, offset_c, jac_c, bind.data,
+                    design=self._design_arg(bind))
+        elif stats is not None:
+            prior_means, prior_prec = self._apply_spatial_priors(
+                post, prior_means, prior_prec, ak, active, bind)
             means, prec, cov, _ok = self.noise.update_theta_stats(
                 post.noise, prior_means, prior_prec, stats)
             noise_post = self.noise.update_noise_stats(
                 post.noise, self.noise_prior, means, cov, stats)
         else:
+            prior_means, prior_prec = self._apply_spatial_priors(
+                post, prior_means, prior_prec, ak, active, bind)
             means, prec, cov, _ok = self.noise.update_theta(
                 post.noise, post.means, prior_means, prior_prec,
                 s.centre, offset_c, jac_c, bind.data, None,

@@ -35,6 +35,10 @@ class ConvState(NamedTuple):
 class ConvergenceDetector:
     name = None
     uses_f = False
+    # Whether the VB loop must keep a best-so-far state copy for this
+    # detector's save/revert protocol. False lets the engine drop ~P^2
+    # planes of per-iteration loop-state traffic.
+    tracks_best = False
 
     def __init__(self, options):
         pass
@@ -137,6 +141,7 @@ class FchangeDetector(CountingDetector):
 class FreduceDetector(FchangeDetector):
     """Like fchange, but also stop (and revert) if F decreased."""
     name = "freduce"
+    tracks_best = True
 
     def test(self, state, f):
         diff = f - state.prev_f
@@ -156,6 +161,7 @@ class FreduceDetector(FchangeDetector):
 class TrialModeDetector(FchangeDetector):
     """Allow up to max-trials iterations for F to recover after a drop."""
     name = "trialmode"
+    tracks_best = True
 
     def __init__(self, options):
         super().__init__(options)
@@ -230,6 +236,7 @@ class LMDetector(ConvergenceDetector):
     """Levenberg-Marquardt-style damping control on F decreases."""
     name = "lm"
     uses_f = True
+    tracks_best = True
 
     ALPHA_START = 1e-6
     ALPHA_MAX = 1e6

@@ -74,6 +74,10 @@ class SpatialVBInference(VBInference):
                        "or gauss-seidel (the reference's sequential "
                        "in-place voxel ordering; single-device parity "
                        "mode)", default="jacobi"),
+            OptionSpec("spatial-stencil", OPT_STR,
+                       "Neighbour-sum implementation: auto, dense "
+                       "(scatter to the 3-D grid + shifted adds) or "
+                       "gather (padded index arrays)", default="auto"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -107,6 +111,23 @@ class SpatialVBInference(VBInference):
         self.neigh = jnp.asarray(neigh)
         self.neigh2 = jnp.asarray(neigh2)
 
+        # Dense-stencil neighbour sums: scatter voxels into the 3-D
+        # grid, sum 2*spatial_dims shifted copies, extract — one
+        # monotonic scatter+gather instead of a [V,6]/[V,30] random
+        # gather (the TPU-native stencil formulation; the gather path
+        # remains for grids much larger than the masked voxel count).
+        stencil_mode = options.get_string("spatial-stencil", "auto")
+        self._dense = None
+        if stencil_mode != "gather":
+            ci = np.asarray(coords).astype(np.int64)
+            xs, ys, zs = (int(ci[:, 0].max()) + 1, int(ci[:, 1].max()) + 1,
+                          int(ci[:, 2].max()) + 1)
+            dsize = xs * ys * zs
+            if stencil_mode == "dense" or dsize <= 4 * self.nvoxels:
+                off = (ci[:, 2] * xs * ys + ci[:, 1] * xs
+                       + ci[:, 0]).astype(np.int32)
+                self._dense = (xs, ys, zs, jnp.asarray(off))
+
     def _bind(self, lo=0, hi=None):
         # spatial mode never chunks (MRF coupling needs the full graph)
         return super()._bind(lo, hi)._replace(neigh=self.neigh,
@@ -123,18 +144,90 @@ class SpatialVBInference(VBInference):
         w = (valid & act).astype(values.dtype)
         return jnp.sum(vals * w, axis=1), jnp.sum(w, axis=1)
 
-    def _calculate_ak(self, post, active, bind):
+    def _stencil_sum(self, dense):
+        """Sum of the 2*spatial_dims unit-shifted copies of a dense
+        [Z,Y,X] field, zero-filled at the grid boundary."""
+        axes = [2, 1, 0][:self.spatial_dims]
+        out = None
+        for ax in axes:
+            zeros = jnp.zeros_like(
+                jax.lax.slice_in_dim(dense, 0, 1, axis=ax))
+            fwd = jnp.concatenate(
+                [jax.lax.slice_in_dim(dense, 1, None, axis=ax), zeros],
+                axis=ax)
+            bwd = jnp.concatenate(
+                [zeros, jax.lax.slice_in_dim(dense, 0,
+                                             dense.shape[ax] - 1, axis=ax)],
+                axis=ax)
+            s = fwd + bwd
+            out = s if out is None else out + s
+        return out
+
+    def _neighbour_sums(self, post, active, bind):
+        """Per spatial parameter: (nsum [V], nn [V], nsum2, nn2) —
+        neighbour sums of posterior means and neighbour counts, plus
+        the second-neighbour versions (with duplicates, self excluded;
+        only for P/p types, else ()). Computed once per sweep and
+        shared by the aK reduction and the prior construction (both
+        read the same pre-sweep posterior means in the Jacobi sweep)."""
+        actf = active.astype(self.dtype)
+        out = []
+        if self._dense is not None:
+            xs, ys, zs, off = self._dense
+            dsize = xs * ys * zs
+
+            def to_dense(vals):
+                return jnp.zeros(dsize, self.dtype).at[off].set(
+                    vals).reshape(zs, ys, xs)
+
+            def extract(d):
+                return d.reshape(-1)[off]
+
+            md = to_dense(actf)
+            s_m = self._stencil_sum(md)
+            nn = extract(s_m)
+            nn2_cache = None
+            for slot, (k, tcode) in enumerate(self.spatial_params):
+                w = post.means[k]
+                s_w = self._stencil_sum(to_dense(w * actf))
+                nsum = extract(s_w)
+                if tcode in (PRIOR_SPATIAL_P, PRIOR_SPATIAL_p):
+                    # sum over neighbours-of-neighbours keeping
+                    # duplicates = S[m*S[.]], minus the self terms
+                    # (each of the nn neighbours lists v once)
+                    nsum2 = extract(self._stencil_sum(md * s_w)) - w * nn
+                    if nn2_cache is None:
+                        nn2_cache = extract(
+                            self._stencil_sum(md * s_m)) - nn
+                    out.append((nsum, nn, nsum2, nn2_cache))
+                else:
+                    out.append((nsum, nn, (), ()))
+            return out
+
+        for slot, (k, tcode) in enumerate(self.spatial_params):
+            nsum, nn = self._gather_sum(post.means[k], bind.neigh, active)
+            if tcode in (PRIOR_SPATIAL_P, PRIOR_SPATIAL_p):
+                nsum2, nn2 = self._gather_sum(post.means[k], bind.neigh2,
+                                              active)
+                out.append((nsum, nn, nsum2, nn2))
+            else:
+                out.append((nsum, nn, (), ()))
+        return out
+
+    def _calculate_ak(self, post, active, bind, nsums=None):
         """Penny 2005 Fig 4 update for each spatial parameter's global
         precision (priors.cc:221-344). Pure reduction — psum under
         sharding."""
         dtype = self.dtype
         sd = self.spatial_dims
         actf = active.astype(dtype)
+        if nsums is None:
+            nsums = self._neighbour_sums(post, active, bind)
         aks = []
         for slot, (k, tcode) in enumerate(self.spatial_params):
             sigma_k = post.cov[k, k]
             w_k = post.means[k]
-            nsum, nn = self._gather_sum(w_k, bind.neigh, active)
+            nsum, nn = nsums[slot][0], nsums[slot][1]
 
             if tcode == PRIOR_SPATIAL_m:
                 trace_w = jnp.full_like(sigma_k, sd * 2)
@@ -165,15 +258,19 @@ class SpatialVBInference(VBInference):
         return jnp.stack(aks)
 
     def _apply_spatial_priors(self, post, prior_means, prior_prec, ak,
-                              active, bind):
+                              active, bind, nsums=None):
         """Per-voxel spatial prior mean/precision from neighbour
         posterior means (priors.cc:346-488)."""
         dtype = self.dtype
         sd = self.spatial_dims
+        if nsums is None:
+            nsums = self._neighbour_sums(post, active, bind)
         for slot, (k, tcode) in enumerate(self.spatial_params):
             w_k = post.means[k]
-            contrib_nn, nn = self._gather_sum(w_k, bind.neigh, active)
-            nsum2, nn2 = self._gather_sum(w_k, bind.neigh2, active)
+            contrib_nn, nn, nsum2, nn2 = nsums[slot]
+            if tcode in (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m):
+                # M/m never read second neighbours
+                nsum2 = nn2 = jnp.zeros_like(nn)
             contrib_nn2 = -nsum2
 
             if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
@@ -227,7 +324,10 @@ class SpatialVBInference(VBInference):
             return jnp.sum(means_k[safe] * w), jnp.sum(w)
 
         contrib_nn, nn = gather(bind.neigh[v])
-        nsum2, nn2 = gather(bind.neigh2[v])
+        if tcode in (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m):
+            nsum2 = nn2 = jnp.zeros_like(nn)
+        else:
+            nsum2, nn2 = gather(bind.neigh2[v])
         contrib_nn2 = -nsum2
 
         if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
@@ -334,9 +434,12 @@ class SpatialVBInference(VBInference):
         # (skipped on sweep 0 unless update-first-iteration)
         do_update = (it > 0) | self.update_first_iter
         if self.spatial_params:
-            ak = jnp.where(do_update,
-                           self._calculate_ak(post, active, bind), s.ak)
+            nsums = self._neighbour_sums(post, active, bind)
+            ak = jnp.where(
+                do_update,
+                self._calculate_ak(post, active, bind, nsums), s.ak)
         else:
+            nsums = []
             ak = s.ak
 
         # priors: non-spatial family first (voxel-local, reads only
@@ -362,14 +465,14 @@ class SpatialVBInference(VBInference):
                     design=self._design_arg(bind))
         elif stats is not None:
             prior_means, prior_prec = self._apply_spatial_priors(
-                post, prior_means, prior_prec, ak, active, bind)
+                post, prior_means, prior_prec, ak, active, bind, nsums)
             means, prec, cov, _ok = self.noise.update_theta_stats(
                 post.noise, prior_means, prior_prec, stats)
             noise_post = self.noise.update_noise_stats(
                 post.noise, self.noise_prior, means, cov, stats)
         else:
             prior_means, prior_prec = self._apply_spatial_priors(
-                post, prior_means, prior_prec, ak, active, bind)
+                post, prior_means, prior_prec, ak, active, bind, nsums)
             means, prec, cov, _ok = self.noise.update_theta(
                 post.noise, post.means, prior_means, prior_prec,
                 s.centre, offset_c, jac_c, bind.data, None,

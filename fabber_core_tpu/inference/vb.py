@@ -417,12 +417,15 @@ class VBInference:
         conv = self.detector.init_state(v, self.dtype)
         fhist = jnp.zeros((self.max_iter_cap, v), self.dtype) \
             if self.save_fhist else ()
+        # detectors without a save/revert protocol need no best-state
+        # copy: dropping it removes ~(P^2+P) planes of loop traffic
+        best = post if self.detector.tracks_best else ()
         return VBLoopState(
             it=jnp.array(0, jnp.int32),
             post=post, centre=means,
             f=jnp.full(v, 1234.5678, self.dtype),
             fprior=jnp.zeros(v, self.dtype),
-            conv=conv, best=post, fhist=fhist)
+            conv=conv, best=best, fhist=fhist)
 
     def _fused_update(self, s, bind, prior_means, prior_prec):
         """One theta+noise update through the fused Pallas kernel.
@@ -481,7 +484,8 @@ class VBInference:
 
         # 1. Save current state as best-so-far where flagged by the
         #    detector (top of the reference do-loop, inference_vb.cc:451)
-        best = _lane_where(s.conv.save, post, s.best)
+        best = _lane_where(s.conv.save, post, s.best) \
+            if self.detector.tracks_best else ()
 
         # 2. Apply priors
         prior_means, prior_prec, f_contribs = self.prior_setup.apply(
@@ -571,12 +575,23 @@ class VBInference:
         def cond(s):
             return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)
 
+        # maxits runs a deterministic iteration count on every lane: a
+        # static-bound fori_loop lets XLA schedule across iterations
+        # (no dynamic convergence test on the critical path)
+        static_trip = (type(self.detector).name == "maxits"
+                       and not self.is_lm)
+
         @jax.jit
         def loop(s, bind):
             stats = self.noise.make_design_stats(bind.design, bind.data) \
                 if self.use_stats else None
-            s = jax.lax.while_loop(
-                cond, lambda st: self._iteration(st, bind, stats), s)
+            if static_trip:
+                s = jax.lax.fori_loop(
+                    0, self.detector.max_iterations,
+                    lambda i, st: self._iteration(st, bind, stats), s)
+            else:
+                s = jax.lax.while_loop(
+                    cond, lambda st: self._iteration(st, bind, stats), s)
             return self._finalize(s, bind, stats)
 
         return loop
@@ -687,10 +702,13 @@ class VBInference:
 
     def _finalize(self, s, bind, stats=None):
         """Post-loop save/revert (inference_vb.cc:505-525)."""
-        best = _lane_where(s.conv.save, s.post, s.best)
-        post = _lane_where(s.conv.revert, best, s.post)
+        if self.detector.tracks_best:
+            best = _lane_where(s.conv.save, s.post, s.best)
+            post = _lane_where(s.conv.revert, best, s.post)
+        else:
+            post = s.post
 
-        if self.need_f:
+        if self.need_f and self.detector.tracks_best:
             if stats is not None:
                 f_rev = self.noise.free_energy_stats(
                     post.noise, self.noise_prior, post.means, post.prec,

@@ -321,3 +321,44 @@ class TestSpatialAllNonspatial:
 
         np.testing.assert_allclose(rs.means, rv.means, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(rs.noise_means, rv.noise_means, rtol=1e-8)
+
+
+class TestDenseStencil:
+    """The dense-grid stencil neighbour sums must equal the gather
+    formulation exactly, on irregular masks and for P-type second
+    neighbours (with duplicates, self excluded)."""
+
+    @pytest.mark.parametrize("tcode", ["M", "P", "p", "m"])
+    def test_dense_matches_gather(self, tcode):
+        import numpy as np
+        from fabber_core_tpu.options import RunOptions
+        from fabber_core_tpu.models import get_model_class
+        from fabber_core_tpu.inference.spatial import SpatialVBInference
+
+        rng = np.random.default_rng(23)
+        nx, ny = 7, 6
+        keep = rng.random(nx * ny) > 0.25  # irregular mask
+        coords = np.array([[x, y, 0] for y in range(ny) for x in range(nx)],
+                          float)[keep]
+        nv = len(coords)
+        nt = 8
+        data = 3.0 + rng.normal(0, 0.4, (nv, nt))
+
+        def run(stencil):
+            opts = RunOptions({
+                "model": "poly", "degree": "0", "noise": "white",
+                "method": "spatialvb", "param-spatial-priors": tcode,
+                "spatial-dims": "2", "max-iterations": "5",
+                "spatial-stencil": stencil})
+            eng = SpatialVBInference(get_model_class("poly")(opts), opts,
+                                     data, coords)
+            if stencil == "dense":
+                assert eng._dense is not None
+            else:
+                assert True
+            return eng.run()
+
+        rd = run("dense")
+        rg = run("gather")
+        np.testing.assert_allclose(rd.means, rg.means, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(rd.noise_means, rg.noise_means, rtol=1e-7)

@@ -369,8 +369,6 @@ class SpatialVBInference(VBInference):
         ALREADY-UPDATED posteriors of voxels < v. lax.scan over voxels;
         O(V) sequential steps — a single-device parity mode, not the
         production path."""
-        from ..noise.white import DesignStats
-
         post = s.post
         noise_post = post.noise
 
@@ -390,9 +388,7 @@ class SpatialVBInference(VBInference):
             noise_v = jax.tree_util.tree_map(
                 lambda x: slice_v(x, v), noise_post)
             if stats is not None:
-                stats_v = DesignStats(
-                    m0=slice_v(stats.m0, v), rtqr=slice_v(stats.rtqr, v),
-                    dtqr=slice_v(stats.dtqr, v), dtqd=stats.dtqd)
+                stats_v = self.noise.design_stats_voxel(stats, v)
                 m_v, prec_v, cov_v, _ok = self.noise.update_theta_stats(
                     noise_v, pm_v, pp_v, stats_v)
             else:

@@ -263,6 +263,11 @@ class VBInference:
             self.design is not None
             and options.get_string("fixed-design-route", "stats") == "stats"
             and hasattr(self.noise, "make_design_stats"))
+        if self.design is not None and not self.use_stats \
+                and not getattr(self.noise, "fixed_design_direct", True):
+            # stats-only noise model (e.g. AR): there is no direct
+            # design route, fall back to the generic Jacobian path
+            self.design = None
 
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)

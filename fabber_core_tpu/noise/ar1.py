@@ -47,6 +47,20 @@ class Ar1NoiseState(NamedTuple):
     c: jnp.ndarray            # [Q,V]
 
 
+class Ar1DesignStats(NamedTuple):
+    """Fixed-design sufficient statistics, one entry per basis matrix
+    M_s (the flattened (echo, alpha-power) spec list): with a constant
+    Jacobian D the offset cancels exactly, so every banded quadratic
+    form reduces to r0' M_s r0 / D' M_s r0 / D' M_s D about the OLS
+    reference point m0 (k = r0 - D (means - m0)). The VB loop then
+    never touches [T,V] data (same construction as the white-noise
+    DesignStats)."""
+    m0: jnp.ndarray   # [P,V]
+    rmr: jnp.ndarray  # [S,V]
+    dmr: jnp.ndarray  # [S,P,V]
+    dmd: jnp.ndarray  # [S,P,P]
+
+
 class BandSpec(NamedTuple):
     """One global alpha matrix: entries w at (a+i*s, b+i*s), 0-based,
     symmetrized when a != b (noisemodel_ar.cc:104-180)."""
@@ -79,6 +93,10 @@ def _band_spec(n, a12pow, a34pow, nphis):
 @register_noise
 class Ar1NoiseModel(NoiseModel):
     name = "ar"
+    # fixed-design support is stats-only: the direct design route has
+    # no AR implementation (update_theta reads the Jacobian planes)
+    supports_fixed_design = True
+    fixed_design_direct = False
 
     def __init__(self, options, nt, masked_tpoints=()):
         super().__init__(options, nt, masked_tpoints)
@@ -118,6 +136,9 @@ class Ar1NoiseModel(NoiseModel):
                 specs += [(0, 1), (1, 1), (0, 2)]
             self._basis[n] = {(a12, a34): _band_spec(n, a12, a34, self.nphis)
                               for a12, a34 in specs}
+        # flat spec ordering for the sufficient-statistics route
+        self._spec_list = [(n, key) for n in range(1, self.nphis + 1)
+                           for key in self._basis[n]]
 
     @classmethod
     def get_options(cls):
@@ -258,6 +279,121 @@ class Ar1NoiseModel(NoiseModel):
             coeffs[n] = cn
         return coeffs
 
+    # -- sufficient-statistics route (fixed design) -------------------------
+    def make_design_stats(self, design, data):
+        """One-time banded reductions for the fixed-design fast path.
+        design [T,P], data [T,V] -> Ar1DesignStats."""
+        from ..ops import smallmat as sm2
+        p = design.shape[1]
+
+        # OLS reference point (unweighted; cancellation control only)
+        dtd = (design.T @ design)[:, :, None]
+        dty = design.T @ data
+        chol, ok = sm2.cholesky_jittered(dtd)
+        m0 = sm2.solve_chol_vec(chol, dty)
+        m0 = jnp.where(ok & jnp.all(jnp.isfinite(m0), axis=0), m0, 0.0)
+        r0 = data - design @ m0  # [T,V]
+
+        rmr, dmr, dmd = [], [], []
+        for n, key in self._spec_list:
+            spec = self._basis[n][key]
+            rmr.append(self._kmk(r0, spec))
+            # D' M r0 (symmetrized like _jmr), D columns as [T,1] planes
+            cols_r, rows_d = [], []
+            for i in range(p):
+                di = design[:, i:i + 1]
+                v = self._corr(di, r0, spec.a, spec.b)
+                row = []
+                for j in range(p):
+                    dj = design[:, j:j + 1]
+                    e = self._corr(di, dj, spec.a, spec.b)[0]
+                    if spec.a != spec.b:
+                        e = e + self._corr(di, dj, spec.b, spec.a)[0]
+                    row.append(spec.w * e)
+                if spec.a != spec.b:
+                    v = v + self._corr(di, r0, spec.b, spec.a)
+                cols_r.append(spec.w * v)
+                rows_d.append(jnp.stack(row))
+            dmr.append(jnp.stack(cols_r))
+            dmd.append(jnp.stack(rows_d))
+        return Ar1DesignStats(m0=m0, rmr=jnp.stack(rmr),
+                              dmr=jnp.stack(dmr), dmd=jnp.stack(dmd))
+
+    @staticmethod
+    def design_stats_voxel(stats, v):
+        """Single-voxel slice (Gauss-Seidel parity sweeps)."""
+        import jax as _jax
+        sl = lambda x: _jax.lax.dynamic_slice_in_dim(x, v, 1, axis=-1)
+        return Ar1DesignStats(m0=sl(stats.m0), rmr=sl(stats.rmr),
+                              dmr=sl(stats.dmr), dmd=stats.dmd)
+
+    def _stats_quadratics(self, means, cov, stats):
+        """Per spec s: (k'M_s k, tr(cov J'M_s J)) from the statistics,
+        k = r0 - D (means - m0)."""
+        delta = means - stats.m0  # [P,V]
+        p = means.shape[0]
+        kmk, tr = {}, {}
+        for s, (n, key) in enumerate(self._spec_list):
+            cross = sum(delta[a] * stats.dmr[s, a] for a in range(p))
+            quad = 0.0
+            t = 0.0
+            for a in range(p):
+                for b in range(p):
+                    quad = quad + stats.dmd[s, a, b] * delta[a] * delta[b]
+                    t = t + stats.dmd[s, a, b] * cov[a, b]
+            kmk[(n, key)] = stats.rmr[s] - 2.0 * cross + quad
+            tr[(n, key)] = t
+        return kmk, tr
+
+    def update_theta_stats(self, noise_post, prior_means, prior_prec,
+                           stats, lm_alpha=None, centre=None):
+        """Eq 19/20 from sufficient statistics (same arithmetic as
+        update_theta up to the exact offset cancellation)."""
+        si_ci = gamma_mean(noise_post.b, noise_post.c)
+        coeffs = self._marginal_coeffs(noise_post)
+        p = prior_means.shape[0]
+        nv = prior_means.shape[1]
+
+        ltmp = jnp.zeros((p, p, nv), prior_means.dtype)
+        m_tmp = jnp.zeros_like(prior_means)
+        for s, (n, key) in enumerate(self._spec_list):
+            w = si_ci[n - 1] * coeffs[n][key]  # [V]
+            ltmp = ltmp + w[None, None] * stats.dmd[s][:, :, None]
+            # D'M y = D'M r0 + (D'M D) m0
+            dmy = stats.dmr[s] + jnp.einsum("ab,bv->av", stats.dmd[s],
+                                            stats.m0)
+            m_tmp = m_tmp + w[None] * dmy
+
+        prec = sm.add_diag(ltmp, prior_prec)
+        chol, ok = sm.cholesky_jittered(prec)
+        cov = sm.inverse_from_chol(chol)
+        rhs = m_tmp + prior_prec * prior_means
+        new_means = sm.matvec_planes(cov, rhs)
+        return new_means, prec, cov, ok
+
+    def update_noise_stats(self, noise_post, noise_prior, means, cov,
+                           stats):
+        """UpdateAlpha + UpdatePhi from the statistics."""
+        kmk, tr = self._stats_quadratics(means, cov, stats)
+        op = {sk: kmk[sk] + tr[sk] for sk in kmk}
+        return self._alpha_phi_update(noise_post, noise_prior, means, op)
+
+    def free_energy_stats(self, noise_post, noise_prior, means, prec, cov,
+                          prior_means, prior_prec, stats):
+        kmk, tr = self._stats_quadratics(means, cov, stats)
+        si_ci = gamma_mean(noise_post.b, noise_post.c)
+        coeffs = self._marginal_coeffs(noise_post)
+        nv = means.shape[1]
+        kqk = jnp.zeros(nv, means.dtype)
+        trq = jnp.zeros(nv, means.dtype)
+        for n, key in self._spec_list:
+            w = si_ci[n - 1] * coeffs[n][key]
+            kqk = kqk + w * kmk[(n, key)]
+            trq = trq + w * tr[(n, key)]
+        return self._free_energy_tail(noise_post, noise_prior, means, prec,
+                                      cov, prior_means, prior_prec,
+                                      kqk, trq)
+
     # -- VB updates --------------------------------------------------------
     def update_theta(self, noise_post, means, prior_means, prior_prec,
                      centre, offset, jac, data, lm_alpha=None, design=None):
@@ -288,8 +424,6 @@ class Ar1NoiseModel(NoiseModel):
                      centre, offset, jac, data, design=None):
         """UpdateAlpha then UpdatePhi (noisemodel_ar.cc:405-556)."""
         k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
-        si_ci = gamma_mean(noise_post.b, noise_post.c)
-        a = self.nalphas
 
         # OpKLJ(M) = k'Mk + tr(cov J'MJ) for each basis matrix, where
         # cov is the inverse of the theta precisions
@@ -298,6 +432,11 @@ class Ar1NoiseModel(NoiseModel):
             for key, spec in self._basis[n].items():
                 op[(n, key)] = (self._kmk(k, spec)
                                 + self._trace_form(cov, self._jmj(jac, spec)))
+        return self._alpha_phi_update(noise_post, noise_prior, means, op)
+
+    def _alpha_phi_update(self, noise_post, noise_prior, means, op):
+        si_ci = gamma_mean(noise_post.b, noise_post.c)
+        a = self.nalphas
 
         # -- alpha precision update (noisemodel_ar.cc:466-500)
         nv = means.shape[1]
@@ -340,10 +479,8 @@ class Ar1NoiseModel(NoiseModel):
         new_b, new_c = [], []
         for n in range(1, self.nphis + 1):
             tmp_n = 0.0
-            for key, spec in self._basis[n].items():
-                kmk = self._kmk(k, spec)
-                tr = self._trace_form(cov, self._jmj(jac, spec))
-                tmp_n = tmp_n + coeffs[n][key] * (kmk + tr)
+            for key in self._basis[n]:
+                tmp_n = tmp_n + coeffs[n][key] * op[(n, key)]
             b = 1.0 / (tmp_n * 0.5 + 1.0 / noise_prior.b[n - 1])
             c = jnp.full_like(b, (self.ntimes - 1) * 0.5) \
                 + noise_prior.c[n - 1]
@@ -358,9 +495,6 @@ class Ar1NoiseModel(NoiseModel):
         (noisemodel_ar.cc:643-747)."""
         dtype = means.dtype
         nv = means.shape[1]
-        n_theta = means.shape[0]
-        a = self.nalphas
-        log2pi = jnp.log(2 * jnp.pi).astype(dtype)
         k = data - offset + jnp.einsum("ptv,pv->tv", jac, centre - means)
         si_ci = gamma_mean(noise_post.b, noise_post.c)
         coeffs = self._marginal_coeffs(noise_post)
@@ -373,6 +507,17 @@ class Ar1NoiseModel(NoiseModel):
                 w = si_ci[n - 1] * coeffs[n][key]
                 kqk = kqk + w * self._kmk(k, spec)
                 trq = trq + w * self._trace_form(cov, self._jmj(jac, spec))
+        return self._free_energy_tail(noise_post, noise_prior, means, prec,
+                                      cov, prior_means, prior_prec,
+                                      kqk, trq)
+
+    def _free_energy_tail(self, noise_post, noise_prior, means, prec, cov,
+                          prior_means, prior_prec, kqk, trq):
+        dtype = means.dtype
+        nv = means.shape[1]
+        n_theta = means.shape[0]
+        a = self.nalphas
+        log2pi = jnp.log(2 * jnp.pi).astype(dtype)
 
         achol, _ = sm.cholesky_jittered(noise_post.alpha_prec)
         exp_alpha = (0.5 * sm.logdet_from_chol(achol)

@@ -303,6 +303,14 @@ class WhiteNoiseModel(NoiseModel):
                           for i in range(self.nphis)])
         return DesignStats(m0=m0, rtqr=rtqr, dtqr=dtqr, dtqd=dtqd)
 
+    @staticmethod
+    def design_stats_voxel(stats, v):
+        """Single-voxel slice (Gauss-Seidel parity sweeps)."""
+        import jax as _jax
+        sl = lambda x: _jax.lax.dynamic_slice_in_dim(x, v, 1, axis=-1)
+        return DesignStats(m0=sl(stats.m0), rtqr=sl(stats.rtqr),
+                           dtqr=sl(stats.dtqr), dtqd=stats.dtqd)
+
     def update_theta_stats(self, noise_post, prior_means, prior_prec,
                            stats, lm_alpha=None, centre=None):
         """Eq 19/20 from sufficient statistics: identical arithmetic to

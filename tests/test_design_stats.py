@@ -89,8 +89,31 @@ def test_stats_float32_tight_fit():
 def test_gating():
     # option off -> direct route
     assert not make_engine("direct").use_stats
-    # ar1 noise has no stats implementation
-    eng = make_engine("stats", {"noise": "ar", "num-echoes": "1",
-                                "convergence": "maxits",
-                                "save-free-energy": False})
-    assert not eng.use_stats
+    # AR noise: stats route engages; forcing direct must fall back to
+    # the generic Jacobian path (AR has no direct design route)
+    ar = {"noise": "ar", "num-echoes": "1", "convergence": "maxits",
+          "save-free-energy": False}
+    eng = make_engine("stats", ar)
+    assert eng.use_stats and eng.design is not None
+    eng = make_engine("direct", ar)
+    assert not eng.use_stats and eng.design is None
+
+
+@pytest.mark.parametrize("extra", [
+    {"noise": "ar", "num-echoes": "1"},
+    {"noise": "ar", "num-echoes": "2"},
+    {"noise": "ar", "num-echoes": "2", "ar1-cross-terms": "dual"},
+], ids=["1echo", "2echo", "2echo-dual"])
+def test_ar1_stats_matches_generic(extra):
+    """AR(1) sufficient-statistics route vs the generic banded route."""
+    base = {"convergence": "maxits", "save-free-energy": True}
+    rd = make_engine("direct", {**base, **extra}).run()  # generic jac
+    es = make_engine("stats", {**base, **extra})
+    assert es.use_stats
+    rs = es.run()
+    np.testing.assert_allclose(rd.means, rs.means, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(rd.cov, rs.cov, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(rd.noise_means, rs.noise_means,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(rd.free_energy, rs.free_energy,
+                               rtol=1e-9, atol=1e-8)

@@ -155,8 +155,10 @@ class VBInference:
                        "budget; bounds device memory at any volume size)",
                        default="0"),
             OptionSpec("engine-kernel", OPT_STR,
-                       "Iteration backend: auto (fused Pallas kernel on "
-                       "TPU when eligible), pallas, or xla", default="auto"),
+                       "Iteration backend: auto (fused Pallas kernels on "
+                       "TPU when eligible), pallas (per-iteration "
+                       "time-signal kernel), pallas-loop (whole-loop "
+                       "stats kernel), or xla", default="auto"),
             OptionSpec("fixed-design-route", OPT_STR,
                        "Fixed-design update arithmetic: stats (sufficient "
                        "statistics; the iteration loop never touches "
@@ -268,6 +270,34 @@ class VBInference:
             # stats-only noise model (e.g. AR): there is no direct
             # design route, fall back to the generic Jacobian path
             self.design = None
+
+        # Whole-loop Pallas kernel (ops/fused_loop.py): the ENTIRE
+        # fixed point runs on VMEM-resident state, one HBM read of the
+        # sufficient statistics and one write of the final posterior.
+        # Needs: stats route + static trip count (maxits, no
+        # save/revert) + iteration-invariant priors (non-ARD,
+        # non-spatial) + f32 + no per-iteration F history (final F is
+        # assembled outside the kernel from the same stats).
+        loop_eligible = (
+            self.use_stats
+            and getattr(self.noise, "name", "") == "white"
+            and kernel_mode in ("auto", "pallas-loop")
+            and options.get_string("continue-from-mvn", "") == ""
+            and type(self.detector).name == "maxits" and not self.is_lm
+            and not self.save_fhist
+            and not self.prior_setup.has_ard
+            and not self.prior_setup.spatial_params
+            and not self.locked_linear
+            and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            and options.get_string("noise-initial-posterior",
+                                   "modeldefault") == "modeldefault")
+        if kernel_mode == "pallas-loop":
+            self.use_loop_kernel = loop_eligible
+            self.loop_interpret = jax.default_backend() != "tpu"
+        else:  # auto: interpreted Pallas is slow, engage on real TPU only
+            self.use_loop_kernel = (loop_eligible
+                                    and jax.default_backend() == "tpu")
+            self.loop_interpret = False
 
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
@@ -575,8 +605,83 @@ class VBInference:
         return merged._replace(it=new.it, fhist=fhist)
 
     # -- driver -----------------------------------------------------------
+    def _compiled_loop_kernel(self):
+        """Whole-loop Pallas route (ops/fused_loop.py): stats -> final
+        posterior in one kernel; state never leaves VMEM between
+        iterations. Arithmetic identical to the XLA stats route."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.fused_loop import make_fused_vb_loop, pack_consts
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        n_iters = int(self.detector.max_iterations)
+        nq = self.noise.nphis
+        p = self.nparams
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+
+            block = next((bb for bb in (2048, 1024, 512, 256, 128)
+                          if nv % bb == 0), None)
+            pad = 0
+            if block is None:
+                block = 128
+                pad = (-nv) % block
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_vb_loop(
+                p, nq, n_iters, nv + pad, self.dtype,
+                locked_noise_stdev=self.noise.locked_noise_stdev,
+                block=block, interpret=self.loop_interpret)
+            consts = pack_consts(
+                stats.dtqd, self.noise_prior.b, self.noise_prior.c,
+                self.noise.ntimes_per_group, init_b, init_c, self.dtype)
+            means, prec, cov, nb, nc = fused(
+                pad_v(stats.m0), pad_v(stats.rtqr), pad_v(stats.dtqr),
+                consts, pad_v(prior_means), pad_v(prior_prec))
+            if pad:
+                means, prec, cov, nb, nc = (
+                    means[..., :nv], prec[..., :nv], cov[..., :nv],
+                    nb[..., :nv], nc[..., :nv])
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if self.need_f:
+                # fprior is zero for the (non-ARD) priors this route
+                # admits, so the final F is the stats ELBO alone
+                f = self.noise.free_energy_stats(
+                    noise_post, self.noise_prior, means, prec, cov,
+                    prior_means, prior_prec, stats)
+            else:
+                f = s.f
+            conv = s.conv._replace(
+                its=jnp.full(nv, n_iters, jnp.int32),
+                done=jnp.ones(nv, bool))
+            out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
+        if self.use_loop_kernel:
+            return self._compiled_loop_kernel()
         def cond(s):
             return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)
 

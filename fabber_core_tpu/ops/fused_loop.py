@@ -1,0 +1,252 @@
+"""Whole-VB-loop Pallas kernel for the fixed-design stats route.
+
+The sufficient-statistics route (noise/white.py DesignStats) already
+reduces each VB iteration to pure [P,V]-plane arithmetic: with a
+constant design matrix and white noise the fixed point is a function of
+the data only through per-voxel reductions computed once. But under
+XLA's while/fori loop the posterior state still round-trips HBM every
+iteration (plus materialized temporaries), so a 10-iteration run moves
+~10x more bytes than the state itself.
+
+This kernel runs the ENTIRE iteration loop in one Pallas invocation:
+per voxel tile the sufficient statistics are read from HBM once, all
+iterations execute on VMEM-resident state (theta update: unrolled
+Cholesky/inverse identical to ops/smallmat.py; phi update: Eq 21/22
+from the stats-route quadratics, noisemodel_white.cc:228-273), and only
+the final posterior is written back. HBM traffic per voxel drops from
+O(iters * state) to O(stats + state).
+
+Eligibility (gated by the engine, inference/vb.py): fixed-design model,
+white noise, maxits convergence detector (static trip count, no
+save/revert protocol), non-ARD/non-spatial priors (prior planes are
+iteration-invariant), float32, no free-energy history (the final F, if
+requested, is assembled outside from the same stats).
+
+The arithmetic is identical to WhiteNoiseModel.update_theta_stats /
+update_noise_stats, so results match the XLA stats route to float32
+roundoff (tests/test_fused_loop.py pins this).
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 2048  # voxels per tile (state is tiny; big tiles win)
+
+
+def _tri(p):
+    """(i, j<=i) pairs in row-major lower-triangular order."""
+    return [(i, j) for i in range(p) for j in range(i + 1)]
+
+
+def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
+                       locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
+                       interpret=False):
+    """Build the whole-loop callable.
+
+    Returns fn(m0 [P,V], rtqr [Q,V], dtqr [Q,P,V], consts [K,1],
+               prior_means [P,V], prior_prec [P,V])
+        -> (means [P,V], prec [P,P,V], cov [P,P,V], b [Q,V], c [Q,V])
+
+    consts packs, in order: dtqd flattened [Q*P*P], 1/b0 [Q],
+    c_post = (ntimes-1)/2 + c0 [Q], b_init [Q], c_init [Q]
+    (see pack_consts).
+    """
+    p = nparams
+    tri = _tri(p)
+    ntri = len(tri)
+    ti = {ij: k for k, ij in enumerate(tri)}
+
+    def kernel(m0_ref, rtqr_ref, dtqr_ref, consts_ref, pm_ref, pp_ref,
+               means_out, prec_out, cov_out, b_out, c_out):
+        b = m0_ref.shape[-1]
+
+        def cst(row):
+            return consts_ref[row:row + 1, 0:1]  # [1,1], broadcasts on B
+
+        def dtqd(q, i, j):
+            return cst(q * p * p + i * p + j)
+
+        base = nq * p * p
+        inv_b0 = [cst(base + q) for q in range(nq)]
+        c_post = [cst(base + nq + q) for q in range(nq)]
+        b_init = [cst(base + 2 * nq + q) for q in range(nq)]
+        c_init = [cst(base + 3 * nq + q) for q in range(nq)]
+
+        m0 = [m0_ref[i:i + 1] for i in range(p)]
+        pm = [pm_ref[i:i + 1] for i in range(p)]
+        pp = [pp_ref[i:i + 1] for i in range(p)]
+        rtqr = [rtqr_ref[q:q + 1] for q in range(nq)]
+        dtqr = [[dtqr_ref[q * p + a:q * p + a + 1] for a in range(p)]
+                for q in range(nq)]
+        # D'Q_i y = D'Q_i r0 + (D'Q_i D) m0 — iteration-invariant
+        dtqy = [[dtqr[q][a] + sum(dtqd(q, a, j) * m0[j] for j in range(p))
+                 for a in range(p)] for q in range(nq)]
+
+        ones = jnp.ones((1, b), dtype)
+
+        def chol_tri(a_at):
+            """Unrolled Cholesky; a_at(i,j) -> [1,B] plane (same
+            arithmetic as ops/smallmat.cholesky_planes)."""
+            ch = [None] * ntri
+            for i in range(p):
+                s = a_at(i, i)
+                for k in range(i):
+                    s = s - ch[ti[(i, k)]] ** 2
+                ch[ti[(i, i)]] = jnp.sqrt(s)
+                inv_d = 1.0 / ch[ti[(i, i)]]
+                for j in range(i + 1, p):
+                    s = a_at(j, i)
+                    for k in range(i):
+                        s = s - ch[ti[(j, k)]] * ch[ti[(i, k)]]
+                    ch[ti[(j, i)]] = s * inv_d
+            return ch
+
+        def inv_from_chol(ch):
+            """A^-1 from L (ops/smallmat.inverse_from_chol), dict."""
+            invl = {}
+            for i in range(p):
+                invl[(i, i)] = 1.0 / ch[ti[(i, i)]]
+            for i in range(p):
+                for j in range(i - 1, -1, -1):
+                    s = 0.0
+                    for k in range(j + 1, i + 1):
+                        s = s + ch[ti[(k, j)]] * invl[(i, k)]
+                    invl[(i, j)] = -s / ch[ti[(j, j)]]
+            cv = {}
+            for i in range(p):
+                for j in range(i + 1):
+                    s = 0.0
+                    for k in range(i, p):
+                        s = s + invl[(k, i)] * invl[(k, j)]
+                    cv[(i, j)] = s
+                    cv[(j, i)] = s
+            return cv
+
+        def body(_, carry):
+            bc, _means, _prec, _cov = carry
+            phi = [bc[q:q + 1] * bc[nq + q:nq + q + 1] for q in range(nq)]
+
+            # theta update (update_theta_stats arithmetic)
+            prec = []
+            for i, j in tri:
+                v = 0.0
+                for q in range(nq):
+                    v = v + phi[q] * dtqd(q, i, j)
+                if i == j:
+                    v = v + pp[i]
+                prec.append(v)
+            ch = chol_tri(lambda i, j: prec[ti[(max(i, j), min(i, j))]])
+            cov = inv_from_chol(ch)
+            rhs = []
+            for a in range(p):
+                v = 0.0
+                for q in range(nq):
+                    v = v + phi[q] * dtqy[q][a]
+                rhs.append(v + pp[a] * pm[a])
+            means = [sum(cov[(i, j)] * rhs[j] for j in range(p))
+                     for i in range(p)]
+
+            # phi update (update_noise_stats arithmetic)
+            delta = [means[a] - m0[a] for a in range(p)]
+            new_b, new_c = [], []
+            for q in range(nq):
+                cross = sum(delta[a] * dtqr[q][a] for a in range(p))
+                quad = 0.0
+                tr = 0.0
+                for a in range(p):
+                    for j in range(p):
+                        d_aj = dtqd(q, a, j)
+                        quad = quad + d_aj * delta[a] * delta[j]
+                        tr = tr + d_aj * cov[(a, j)]
+                kqk = jnp.maximum(rtqr[q] - 2.0 * cross + quad, 0.0)
+                bq = 1.0 / ((kqk + tr) * 0.5 + inv_b0[q])
+                cq = c_post[q] * ones
+                if locked_noise_stdev > 0:
+                    bq = 1.0 / cq / locked_noise_stdev ** 2
+                new_b.append(bq)
+                new_c.append(cq)
+
+            return (jnp.concatenate(new_b + new_c, 0),
+                    jnp.concatenate(means, 0),
+                    jnp.concatenate(prec, 0),
+                    jnp.concatenate([cov[ij] for ij in tri], 0))
+
+        bc0 = jnp.concatenate([b_init[q] * ones for q in range(nq)]
+                              + [c_init[q] * ones for q in range(nq)], 0)
+        init = (bc0, jnp.zeros((p, b), dtype),
+                jnp.zeros((ntri, b), dtype), jnp.zeros((ntri, b), dtype))
+        bc, means, prec_t, cov_t = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_iters), body, init)
+
+        means_out[:] = means
+        for i in range(p):
+            for j in range(p):
+                k = ti[(max(i, j), min(i, j))]
+                prec_out[i * p + j:i * p + j + 1] = prec_t[k:k + 1]
+                cov_out[i * p + j:i * p + j + 1] = cov_t[k:k + 1]
+        b_out[:] = bc[:nq]
+        c_out[:] = bc[nq:]
+
+    grid = (nvoxels // block,)
+
+    def vox_spec(rows):
+        # NB np.int32 constants: under x64 a literal 0 would make the
+        # index map return mixed i64/i32, which Mosaic rejects
+        return pl.BlockSpec((rows, block), lambda i: (np.int32(0), i),
+                            memory_space=pltpu.VMEM)
+
+    def fixed_spec(rows, cols):
+        return pl.BlockSpec((rows, cols),
+                            lambda i: (np.int32(0), np.int32(0)),
+                            memory_space=pltpu.VMEM)
+
+    nconsts = nq * p * p + 4 * nq
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vox_spec(p), vox_spec(nq), vox_spec(nq * p),
+                  fixed_spec(nconsts, 1), vox_spec(p), vox_spec(p)],
+        out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
+                   vox_spec(nq), vox_spec(nq)),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def run(m0, rtqr, dtqr, consts, prior_means, prior_prec):
+        means, prec_f, cov_f, b, c = call(
+            m0, rtqr, dtqr.reshape(nq * p, -1), consts,
+            prior_means, prior_prec)
+        return (means, prec_f.reshape(p, p, nvoxels),
+                cov_f.reshape(p, p, nvoxels), b, c)
+
+    return run
+
+
+def pack_consts(dtqd, noise_prior_b, noise_prior_c, ntimes_per_group,
+                init_b, init_c, dtype):
+    """[K,1] kernel constant vector (see make_fused_vb_loop).
+
+    dtqd [Q,P,P] (traced ok); noise_prior_b/c [Q,1] arrays or scalars;
+    ntimes_per_group [Q] host floats; init_b/init_c python floats.
+    """
+    nq = dtqd.shape[0]
+    b0 = jnp.asarray(noise_prior_b, dtype).reshape(nq)
+    c0 = jnp.asarray(noise_prior_c, dtype).reshape(nq)
+    nt_g = jnp.asarray(np.asarray(ntimes_per_group, np.float32), dtype)
+    c_post = (nt_g - 1.0) * 0.5 + c0
+    return jnp.concatenate([
+        dtqd.reshape(-1).astype(dtype),
+        (1.0 / b0),
+        c_post,
+        jnp.full((nq,), float(init_b), dtype),
+        jnp.full((nq,), float(init_c), dtype),
+    ])[:, None]

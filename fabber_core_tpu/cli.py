@@ -181,7 +181,15 @@ def _evaluate_fast_path(fab, options):
             f"Expected {len(params)} parameter values, got {len(pvals)}\n")
         return 1
     values = {p.name: pvals[i] for i, p in enumerate(params)}
-    result = fab.model_evaluate(options, values, nt, output_name=key)
+    # Optional input-data injection: the reference PassData's the first
+    # column of evaluate-data before evaluating (fabber_core.cc:233-246),
+    # so data-dependent models see real input rather than zeros.
+    indata = None
+    if options.have("evaluate-data"):
+        dfile = options.get_string("evaluate-data")
+        indata = matfile.read_matrix_file(dfile)[:, 0]
+    result = fab.model_evaluate(options, values, nt, indata=indata,
+                                output_name=key)
     for val in result:
         print(f"{val:.6f}")
     return 0

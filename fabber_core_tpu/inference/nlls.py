@@ -23,7 +23,7 @@ import numpy as np
 
 from ..models.base import resolve_parameters, PRIOR_IMAGE
 from ..ops import smallmat as sm
-from ..options import OptionSpec, OPT_BOOL, OPT_INT
+from ..options import OptionSpec, OPT_BOOL, OPT_INT, OPT_STR
 from .linearize import Linearizer
 from .vb import VBResult
 
@@ -41,6 +41,9 @@ class NLLSState(NamedTuple):
     lam: jnp.ndarray     # [V]
     done: jnp.ndarray    # [V] bool
     it: jnp.ndarray      # scalar
+    its: jnp.ndarray     # [V] per-voxel optimizer iterations
+                         # (inference_nlls.cc:110-153 runs the optimizer
+                         # per voxel; lanes stop counting once done)
 
 
 class NLLSInference:
@@ -175,7 +178,8 @@ class NLLSInference:
             jnp.where(keep[None], s.params, params),
             jnp.where(keep, s.cost, cost),
             jnp.where(keep, s.lam, lam),
-            done, s.it + 1)
+            done, s.it + 1,
+            s.its + (~keep).astype(s.its.dtype))
 
     def run(self):
         bind = self._bind()
@@ -184,7 +188,8 @@ class NLLSInference:
             params=p0, cost=self._cost(p0, bind),
             lam=jnp.full(self.nvoxels, LAMBDA_INIT, self.dtype),
             done=jnp.zeros(self.nvoxels, bool),
-            it=jnp.array(0, jnp.int32))
+            it=jnp.array(0, jnp.int32),
+            its=jnp.zeros(self.nvoxels, jnp.int32))
 
         @jax.jit
         def solve(s, bind):
@@ -219,5 +224,5 @@ class NLLSInference:
             noise_means=np.zeros((self.nvoxels, 0)),
             noise_cov=np.zeros((self.nvoxels, 0, 0)),
             free_energy=None, fhistory=None,
-            iterations=np.full(self.nvoxels, int(np.asarray(s.it))),
+            iterations=np.asarray(s.its).copy(),
             bad_voxels=bad)

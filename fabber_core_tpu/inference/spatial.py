@@ -64,7 +64,10 @@ class SpatialVBInference(VBInference):
             OptionSpec("param-spatial-priors", OPT_STR,
                        "Type of spatial priors per parameter: N=nonspatial, "
                        "M=Markov random field, P=Penny, A=ARD", default="N+"),
-            OptionSpec("update-spatial-prior-on-first-iteration", OPT_BOOL, ""),
+            # description empty in the reference (inference_vb.cc:72);
+            # filled in here so --help is self-explanatory
+            OptionSpec("update-spatial-prior-on-first-iteration", OPT_BOOL,
+                       "Update the spatial prior (aK) on iteration 0"),
             OptionSpec("spatial-q1", OPT_FLOAT,
                        "Prior Gamma scale for aK", default="10.0"),
             OptionSpec("spatial-q2", OPT_FLOAT,

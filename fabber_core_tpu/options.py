@@ -57,6 +57,8 @@ GLOBAL_OPTIONS = [
     OptionSpec("evaluate", OPT_STR, "Evaluate model forward pass; set to output name or blank"),
     OptionSpec("evaluate-params", OPT_MATRIX, "Parameter values for evaluation"),
     OptionSpec("evaluate-nt", OPT_INT, "Number of time points for evaluation"),
+    OptionSpec("evaluate-data", OPT_MATRIX,
+               "Timeseries data passed to the model for evaluation"),
     OptionSpec("simple-output", OPT_BOOL, "Progress as percentage lines only"),
     OptionSpec("output", OPT_STR, "Directory for output files (including logfile)", True),
     OptionSpec("overwrite", OPT_BOOL, "Overwrite existing output; otherwise append '+'"),

@@ -67,6 +67,52 @@ def test_evaluate(capsys, tmp_path):
     np.testing.assert_allclose(vals, [3.0, 5.0, 7.0])
 
 
+def test_evaluate_data_injection(capsys, tmp_path):
+    """--evaluate-data feeds the model's data vector (fabber_core.cc:246):
+    a data-dependent plugin model must see the injected timeseries."""
+    import textwrap
+    plugin = tmp_path / "datamodel.py"
+    plugin.write_text(textwrap.dedent('''
+        import jax.numpy as jnp
+        from fabber_core_tpu.models.base import (DistParams, Model,
+                                                 ParamSpec, register_model)
+
+        @register_model
+        class DataOffsetModel(Model):
+            name = "testdataoffset"
+
+            def __init__(self, options):
+                pass
+
+            def param_defaults(self):
+                return [ParamSpec(0, "gain", DistParams(1, 1e6),
+                                  DistParams(1, 1e6))]
+
+            def evaluate(self, params, ctx, key=""):
+                # prediction = gain * mean(input data): data-dependent
+                return params[0] * jnp.mean(ctx.data) \\
+                    * jnp.ones(ctx.nt, params.dtype)
+    '''))
+    pfile = tmp_path / "params.txt"
+    pfile.write_text("2.0\n")
+    dfile = tmp_path / "data.txt"
+    dfile.write_text("1.0\n3.0\n5.0\n")
+
+    # without data: ctx.data is zeros -> prediction 0
+    assert cli.execute([f"--loadmodels={plugin}", "--model=testdataoffset",
+                        f"--evaluate-params={pfile}", "--evaluate-nt=3",
+                        "--evaluate="]) == 0
+    vals = [float(x) for x in capsys.readouterr().out.split()]
+    np.testing.assert_allclose(vals, [0.0, 0.0, 0.0])
+
+    # with data: prediction = 2 * mean([1,3,5]) = 6
+    assert cli.execute([f"--loadmodels={plugin}", "--model=testdataoffset",
+                        f"--evaluate-params={pfile}", "--evaluate-nt=3",
+                        f"--evaluate-data={dfile}", "--evaluate="]) == 0
+    vals = [float(x) for x in capsys.readouterr().out.split()]
+    np.testing.assert_allclose(vals, [6.0, 6.0, 6.0])
+
+
 def test_full_run(phantom_files, capsys):
     data_f, mask_f, tmp = phantom_files
     outdir = str(tmp / "out")

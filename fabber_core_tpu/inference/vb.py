@@ -284,6 +284,9 @@ class VBInference:
             and kernel_mode in ("auto", "pallas-loop")
             and options.get_string("continue-from-mvn", "") == ""
             and type(self.detector).name == "maxits" and not self.is_lm
+            # zero-trip kernel would emit an all-zero posterior instead
+            # of the initial one; the XLA route handles maxits=0
+            and int(self.detector.max_iterations) >= 1
             and not self.save_fhist
             and not self.prior_setup.has_ard
             and not self.prior_setup.spatial_params
@@ -767,6 +770,13 @@ class VBInference:
         return max(16384, int(budget / per_vox))
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        if self.use_loop_kernel and (continue_means is not None
+                                     or continue_noise is not None):
+            # the kernel always starts from the model-default init; a
+            # programmatic initial posterior/noise must take the XLA
+            # route (the option-string gate above only sees
+            # continue-from-mvn)
+            self.use_loop_kernel = False
         chunk = self._chunk_size()
         # single-dispatch path: initial state built on device inside
         # the compiled program (host round trips cost ~ms each on the

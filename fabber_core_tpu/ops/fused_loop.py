@@ -104,6 +104,21 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
                     ch[ti[(j, i)]] = s * inv_d
             return ch
 
+        def chol_tri_jittered(a_at):
+            """Jitter-retry Cholesky, mirroring
+            ops/smallmat.cholesky_jittered: lanes whose plain
+            factorization produced a non-finite diagonal are
+            refactorized with +1e-10 on the diagonal (so a pathological
+            voxel degrades exactly as on the XLA stats route instead of
+            going NaN for all remaining iterations)."""
+            ch0 = chol_tri(a_at)
+            bad = ~jnp.isfinite(ch0[ti[(0, 0)]])
+            for i in range(1, p):
+                bad = bad | ~jnp.isfinite(ch0[ti[(i, i)]])
+            jit = jnp.where(bad, dtype(1e-10), dtype(0.0))
+            return chol_tri(lambda i, j: a_at(i, j) + (jit if i == j
+                                                       else dtype(0.0)))
+
         def inv_from_chol(ch):
             """A^-1 from L (ops/smallmat.inverse_from_chol), dict."""
             invl = {}
@@ -138,7 +153,8 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
                 if i == j:
                     v = v + pp[i]
                 prec.append(v)
-            ch = chol_tri(lambda i, j: prec[ti[(max(i, j), min(i, j))]])
+            ch = chol_tri_jittered(
+                lambda i, j: prec[ti[(max(i, j), min(i, j))]])
             cov = inv_from_chol(ch)
             rhs = []
             for a in range(p):

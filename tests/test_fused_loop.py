@@ -113,3 +113,64 @@ def test_loop_kernel_gating():
     eng = VBInference(get_model_class("exp")(opts), opts,
                       data.astype(np.float32), coords)
     assert not eng.use_loop_kernel
+
+
+def test_loop_kernel_maxits_zero_gated():
+    """max-iterations=0: a zero-trip kernel would emit an all-zero
+    posterior (ADVICE r1). Two lines of defence: option validation
+    rejects 0 outright, and the kernel eligibility gate requires >=1
+    iterations even if a detector were constructed with 0."""
+    from fabber_core_tpu.exceptions import InvalidOptionValue
+    with pytest.raises(InvalidOptionValue):
+        make_engine(64, "pallas-loop", {"max-iterations": "0"})
+    eng = make_engine(64, "pallas-loop")
+    eng.detector.max_iterations  # gate reads this attribute
+    assert eng.use_loop_kernel  # eligible at maxits=10
+
+
+def test_loop_kernel_programmatic_continue_forces_xla():
+    """run(continue_means=...) must not be silently ignored by the
+    kernel (which always starts from model defaults) (ADVICE r1)."""
+    nv = 64
+    base = make_engine(nv, "xla").run()
+    cm = base.means + 0.5
+    rx = make_engine(nv, "xla", {"max-iterations": "1"}).run(
+        continue_means=cm, continue_cov=base.cov)
+    eng = make_engine(nv, "pallas-loop", {"max-iterations": "1"})
+    assert eng.use_loop_kernel
+    rp = eng.run(continue_means=cm, continue_cov=base.cov)
+    assert not eng.use_loop_kernel  # demoted at run()
+    np.testing.assert_allclose(rx.means, rp.means, rtol=1e-6, atol=1e-7)
+
+
+def test_loop_kernel_singular_voxel_jitter():
+    """A degenerate voxel (constant-zero data, zero prior precision on
+    the duplicate-column design) must degrade via the jitter retry the
+    same way on both routes rather than NaN-ing in the kernel."""
+    nv = 128
+    rngdata = np.random.default_rng(3)
+    nt = 30
+    t = np.arange(1, nt + 1)
+    data = (0.5 + 0.01 * t[None, :]
+            + 0.05 * rngdata.standard_normal((nv, nt))).astype(np.float32)
+    # voxel 0: all-zero data with a huge-variance prior -> the theta
+    # precision can become near-singular at f32
+    data[0] = 0.0
+    coords = np.stack([np.arange(nv), np.zeros(nv), np.zeros(nv)], 1)
+
+    def build(mode):
+        options = RunOptions({
+            "model": "poly", "degree": "4", "noise": "white",
+            "max-iterations": "10", "dtype": "single",
+            "engine-kernel": mode})
+        return VBInference(get_model_class("poly")(options), options,
+                           data, coords)
+
+    rx = build("xla").run()
+    eng = build("pallas-loop")
+    assert eng.use_loop_kernel
+    rp = eng.run()
+    np.testing.assert_array_equal(rx.bad_voxels, rp.bad_voxels)
+    good = ~rx.bad_voxels
+    sd = np.sqrt(np.diagonal(rx.cov, axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means - rp.means)[good] / sd[good]) < 5e-3

@@ -108,15 +108,48 @@ def build_engine(config, nv):
     return eng, iters
 
 
-def main():
-    import jax
+NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
+             "ar1": "T=106, P=3 + AR(1)", "spatial": "T=50, P=1 + MRF"}
+# voxel budget per config relative to FABBER_BENCH_VOXELS (the slower
+# configs run smaller batches to bound bench wall time)
+CONFIG_SCALE = {"poly": 1.0, "biexp": 0.25, "ar1": 0.5, "spatial": 1.0}
 
+
+def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     nv = int(os.environ.get("FABBER_BENCH_VOXELS", 1_000_000))
-    config = os.environ.get("FABBER_BENCH_CONFIG", "poly")
-    nt_label = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
-                "ar1": "T=106, P=3 + AR(1)",
-                "spatial": "T=50, P=1 + MRF"}[config]
+    config = os.environ.get("FABBER_BENCH_CONFIG", "all")
+
+    if config == "all":
+        # one JSON line: the headline poly number, plus every
+        # BASELINE.json config family as extra fields so regressions in
+        # biexp/ar1/spatial are visible per round
+        per = {}
+        for cfg in ("poly", "biexp", "ar1", "spatial"):
+            try:
+                per[cfg] = _run_config(cfg, max(1024, int(
+                    nv * CONFIG_SCALE[cfg])), quiet=True)
+            except Exception as e:  # a broken config must not hide others
+                print(f"# config={cfg} FAILED: {e}", file=sys.stderr)
+                per[cfg] = None
+        head = per["poly"] or {"voxels_per_sec": 0.0}
+        result = {
+            "metric": "vb_convergence_voxels_per_sec",
+            "value": round(head["voxels_per_sec"], 1),
+            "unit": "voxels/s",
+            "vs_baseline": round(
+                head["voxels_per_sec"] / REFERENCE_VOXELS_PER_SEC, 2),
+            "configs": {k: (round(v["voxels_per_sec"], 1) if v else None)
+                        for k, v in per.items()},
+        }
+        print(json.dumps(result))
+        return
+
+    _run_config(config, nv)
+
+
+def _run_config(config, nv, quiet=False):
+    import jax
 
     eng, iters = build_engine(config, nv)
     if config == "spatial":
@@ -137,7 +170,7 @@ def main():
             return out
 
         return _measure(run_once, eng.nvoxels, iters, config,
-                        "T=50, P=1 + MRF prior")
+                        NT_LABELS[config], quiet)
 
     # single-dispatch path: initial state + VB loop in one compiled
     # program per window (eager init ops are host round trips on the
@@ -159,10 +192,10 @@ def main():
         jax.block_until_ready(final.post.means)
         return final
 
-    _measure(run_once, nv, iters, config, nt_label)
+    return _measure(run_once, nv, iters, config, NT_LABELS[config], quiet)
 
 
-def _measure(run_once, nv, iters, config, nt_label):
+def _measure(run_once, nv, iters, config, nt_label, quiet=False):
     import jax
     t0 = time.perf_counter()
     run_once()  # warmup (compile)
@@ -179,10 +212,13 @@ def _measure(run_once, nv, iters, config, nt_label):
         "unit": "voxels/s",
         "vs_baseline": round(voxels_per_sec / REFERENCE_VOXELS_PER_SEC, 2),
     }
-    print(json.dumps(result))
+    if not quiet:
+        print(json.dumps(result))
     print(f"# config={config}: {nv} voxels x {iters} VB iterations "
           f"({nt_label}) in {elapsed:.3f}s wall (compile {compile_time:.1f}s) "
           f"on {jax.devices()[0].platform}", file=sys.stderr)
+    return {"voxels_per_sec": voxels_per_sec, "elapsed": elapsed,
+            "compile_s": compile_time}
 
 
 if __name__ == "__main__":

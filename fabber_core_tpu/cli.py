@@ -200,10 +200,33 @@ def _run(options):
     simple_output = options.get_bool("simple-output")
     echo = not simple_output
 
-    outdir = pick_output_dir(options, log)
-    logpath = os.path.join(outdir, "logfile")
-    logfile = open(logpath, "w")
-    log.start(logfile, echo=False)
+    # Multi-host mode: bring up jax.distributed BEFORE any jax op so
+    # the global mesh covers every process's devices. Only process 0
+    # touches the output directory (shared filesystem); the others
+    # compute their shards and exit quietly.
+    is_primary = True
+    if options.get_bool("distributed"):
+        from .parallel import distributed as dist_mod
+        dist_mod.initialize(
+            options.get_string("coordinator-address", "") or None,
+            options.get_int("num-processes", 0) or None,
+            options.get_int("process-id", 0)
+            if options.have("process-id") else None)
+        import jax
+        is_primary = jax.process_index() == 0
+        options.mark_used("coordinator-address")
+        options.mark_used("num-processes")
+        options.mark_used("process-id")
+
+    if is_primary:
+        outdir = pick_output_dir(options, log)
+        logpath = os.path.join(outdir, "logfile")
+        logfile = open(logpath, "w")
+        log.start(logfile, echo=False)
+    else:
+        import io as _io
+        outdir, logpath, logfile = None, None, _io.StringIO()
+        log.start(logfile, echo=False)
 
     # mask + geometry
     mask_img = None
@@ -243,6 +266,10 @@ def _run(options):
         result = runner.run(options, store, log=log, progress_cb=progress)
     if not simple_output:
         print()
+
+    if not is_primary:
+        logfile.close()
+        return 0
 
     with open(os.path.join(outdir, "paramnames.txt"), "w") as f:
         for name in result.param_names:

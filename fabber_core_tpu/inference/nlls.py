@@ -63,16 +63,24 @@ class NLLSInference:
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
-                 voxel_data_getter=None, dtype=None):
+                 voxel_data_getter=None, dtype=None, data_plane=None,
+                 supp_plane=None):
         self.model = model
         self.options = options
         self.dtype = dtype or (jnp.float64 if options.get_string(
             "dtype", "double") == "double" else jnp.float32)
-        self.data = jnp.asarray(data, self.dtype).T      # [T,V]
+        self.data = data_plane if data_plane is not None \
+            else jnp.asarray(data, self.dtype).T         # [T,V]
         self.coords = jnp.asarray(coords, self.dtype).T  # [3,V]
-        self.suppdata = None if suppdata is None or suppdata.shape[1] == 0 \
-            else jnp.asarray(suppdata, self.dtype).T
+        if supp_plane is not None:
+            self.suppdata = supp_plane
+        else:
+            self.suppdata = None if suppdata is None \
+                or suppdata.shape[1] == 0 \
+                else jnp.asarray(suppdata, self.dtype).T
         self.nt, self.nvoxels = self.data.shape
+        self._fetch = np.asarray
+        self._pre_excised = None
 
         self.masked_tpoints = options.get_int_list("mt", 1)
         tmask = np.ones((self.nt, 1))
@@ -130,6 +138,14 @@ class NLLSInference:
 
     def evaluate_model(self, means_planes, key=""):
         """Model prediction [T,V] at latent means [P,V] (for outputs)."""
+        v = np.shape(means_planes)[-1]
+        if v != self.nvoxels:  # padded sharded engine (see vb.py)
+            means_planes = np.concatenate(
+                [np.asarray(means_planes)] +
+                [np.asarray(means_planes)[..., -1:]] * (self.nvoxels - v),
+                axis=-1)
+            return self._fetch(self.evaluate_model(means_planes,
+                                                   key))[..., :v]
         bind = self._bind()
         lin = self.linearizer if not key else Linearizer(
             self.model, self.params, self.nt, key=key)
@@ -209,8 +225,8 @@ class NLLSInference:
 
         s, prec, cov = solve(s0, bind)
 
-        means = np.asarray(s.params).T.copy()               # [V,P]
-        cov = np.moveaxis(np.asarray(cov), -1, 0).copy()    # [V,P,P]
+        means = self._fetch(s.params).T.copy()              # [V,P]
+        cov = np.moveaxis(self._fetch(cov), -1, 0).copy()   # [V,P,P]
         bad = ~(np.isfinite(means).all(axis=1)
                 & np.isfinite(cov).reshape(cov.shape[0], -1).all(axis=1))
         if bad.any():
@@ -224,5 +240,5 @@ class NLLSInference:
             noise_means=np.zeros((self.nvoxels, 0)),
             noise_cov=np.zeros((self.nvoxels, 0, 0)),
             free_energy=None, fhistory=None,
-            iterations=np.asarray(s.its).copy(),
+            iterations=self._fetch(s.its).copy(),
             bad_voxels=bad)

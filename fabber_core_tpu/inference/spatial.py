@@ -84,9 +84,11 @@ class SpatialVBInference(VBInference):
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
-                 voxel_data_getter=None, dtype=None):
+                 voxel_data_getter=None, dtype=None, data_plane=None,
+                 supp_plane=None):
         super().__init__(model, options, data, coords, suppdata,
-                         voxel_data_getter, dtype)
+                         voxel_data_getter, dtype, data_plane=data_plane,
+                         supp_plane=supp_plane)
         self.save_fhist = False  # per-iteration history is a voxelwise-mode feature
         self.spatial_dims = options.get_int("spatial-dims", 3, 0, 3)
         self.spatial_speed = options.get_float("spatial-speed", -1.0)
@@ -95,6 +97,22 @@ class SpatialVBInference(VBInference):
         self.q1 = options.get_float("spatial-q1", 10.0)
         self.q2 = options.get_float("spatial-q2", 1.0)
         self.max_its = options.get_int("max-iterations", 10, minval=1)
+        # The spatial loop uses a fixed iteration count, as the
+        # reference hardcodes a counting detector on Fglobal
+        # (inference_vb.cc:599-602). Reject other detectors explicitly
+        # instead of silently ignoring the option.
+        conv_name = options.get_string("convergence", "maxits")
+        if conv_name != "maxits":
+            from ..exceptions import InvalidOptionValue
+            raise InvalidOptionValue(
+                "convergence", conv_name,
+                "Spatial VB supports only the maxits detector (the "
+                "reference hardcodes a counting detector for the "
+                "spatial loop)")
+        # voxel count entering the aK shape term hK (priors.cc:302);
+        # a padded sharded run sets this to the REAL voxel count so
+        # padding lanes (pre-excised) don't alter the Penny update
+        self.ak_nvoxels = self.nvoxels
         self.sweep_mode = options.get_string("spatial-sweep-mode", "jacobi")
         if self.sweep_mode not in ("jacobi", "gauss-seidel"):
             from ..exceptions import InvalidOptionValue
@@ -252,7 +270,7 @@ class SpatialVBInference(VBInference):
                 term2 = jnp.sum(swk * swk * actf)
 
             gk = 1.0 / (0.5 * trace_term + 0.5 * term2 + 1.0 / self.q1)
-            hk = self.nvoxels * 0.5 + self.q2
+            hk = self.ak_nvoxels * 0.5 + self.q2
             ak = jnp.maximum(gk * hk, AK_FLOOR)
             if self.spatial_speed > 0:
                 ak_max = jnp.maximum(ak * self.spatial_speed, 0.5)
@@ -527,13 +545,23 @@ class SpatialVBInference(VBInference):
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
         base = self.initial_state(continue_means, continue_cov,
                                   continue_noise)
+        bad0 = jnp.zeros(self.nvoxels, bool) if self._pre_excised is None \
+            else jnp.asarray(self._pre_excised)
         s0 = SpatialState(
             post=base.post, centre=base.centre, f=base.f,
             ak=jnp.full(len(self.spatial_params), AK_INIT, self.dtype),
-            bad=jnp.zeros(self.nvoxels, bool))
+            bad=bad0)
 
         s = self.compiled_sweeps()(s0, self._bind())
         self.final_ak = np.asarray(s.ak)
+
+        # "Coefficient resels" diagnostic, Penny 2005
+        # (inference_vb.cc:727-756): per parameter the mean over voxels
+        # of 1 - sigma_post/sigma_prior; excised voxels contribute 0
+        gamma = 1.0 - sm.diag_of(s.post.cov) * s.post.prior_prec
+        gamma = jnp.where(s.bad[None] | ~jnp.isfinite(gamma), 0.0, gamma)
+        self.coefficient_resels = (
+            self._fetch(jnp.sum(gamma, axis=1)) / self.ak_nvoxels)
 
         # wrap into the VBLoopState shape expected by _to_result
         conv = self.detector.init_state(self.nvoxels, self.dtype)
@@ -547,5 +575,5 @@ class SpatialVBInference(VBInference):
         result = self._to_result(final, None)
         # mark excised voxels bad in the result
         result = result._replace(
-            bad_voxels=result.bad_voxels | np.asarray(s.bad))
+            bad_voxels=result.bad_voxels | self._fetch(s.bad))
         return result

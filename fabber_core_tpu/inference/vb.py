@@ -166,19 +166,37 @@ class VBInference:
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
-                 voxel_data_getter=None, dtype=None):
+                 voxel_data_getter=None, dtype=None, data_plane=None,
+                 supp_plane=None):
         """data [V,T] float, coords [V,3], suppdata [V,S] or None
-        (voxel-major at the API boundary; transposed to SoA here)."""
+        (voxel-major at the API boundary; transposed to SoA here).
+
+        data_plane/supp_plane: pre-built [T,V]/[S,V] device planes
+        (possibly sharded over a multi-host mesh) used verbatim instead
+        of converting `data`/`suppdata` — the multi-host path feeds
+        each process's voxel range locally (parallel/distributed.py),
+        so the full array never lands on one device."""
         self.model = model
         self.options = options
         self.dtype = dtype or (jnp.float64 if options.get_string(
             "dtype", "double") == "double" else jnp.float32)
 
-        self.data = jnp.asarray(data, self.dtype).T       # [T,V]
+        self.data = data_plane if data_plane is not None \
+            else jnp.asarray(data, self.dtype).T          # [T,V]
         self.coords = jnp.asarray(coords, self.dtype).T   # [3,V]
-        self.suppdata = None if suppdata is None or suppdata.shape[1] == 0 \
-            else jnp.asarray(suppdata, self.dtype).T      # [S,V]
+        if supp_plane is not None:
+            self.suppdata = supp_plane
+        else:
+            self.suppdata = None if suppdata is None \
+                or suppdata.shape[1] == 0 \
+                else jnp.asarray(suppdata, self.dtype).T  # [S,V]
         self.nt, self.nvoxels = self.data.shape
+        # device->host conversion hook for results; multi-host runs
+        # replace it with a process allgather (parallel/distributed.py)
+        self._fetch = np.asarray
+        # voxel lanes excised before the run starts (padding voxels in
+        # a sharded run); spatial mode removes them from the MRF graph
+        self._pre_excised = None
 
         self.masked_tpoints = options.get_int_list("mt", 1)
         self.params = resolve_parameters(model, options)
@@ -364,6 +382,16 @@ class VBInference:
 
     def evaluate_model(self, means_planes, key=""):
         """Model prediction [T,V] at latent means [P,V] (for outputs)."""
+        v = np.shape(means_planes)[-1]
+        if v != self.nvoxels:
+            # padded sharded engine called with a sliced (real-voxel)
+            # result: pad by edge copy, evaluate, slice back
+            means_planes = np.concatenate(
+                [np.asarray(means_planes)] +
+                [np.asarray(means_planes)[..., -1:]] * (self.nvoxels - v),
+                axis=-1)
+            out = self.evaluate_model(means_planes, key)
+            return self._fetch(out)[..., :v]
         bind = self._bind()
         if key:
             lin = Linearizer(self.model, self.params, self.nt, key=key)
@@ -850,11 +878,11 @@ class VBInference:
         post = s.post
         noise_means, noise_cov = self.noise.state_to_mvn(post.noise)
 
-        means = np.asarray(post.means).T.copy()            # [V,P]
-        cov = np.moveaxis(np.asarray(post.cov), -1, 0).copy()  # [V,P,P]
-        nmeans = np.array(noise_means)  # writable copies (bad-voxel fixup)
-        ncov = np.array(noise_cov)
-        f = np.asarray(s.f) if self.need_f else None
+        means = self._fetch(post.means).T.copy()           # [V,P]
+        cov = np.moveaxis(self._fetch(post.cov), -1, 0).copy()  # [V,P,P]
+        nmeans = np.array(self._fetch(noise_means))  # writable copies
+        ncov = np.array(self._fetch(noise_cov))      # (bad-voxel fixup)
+        f = self._fetch(s.f) if self.need_f else None
 
         bad = ~(np.isfinite(means).all(axis=1)
                 & np.isfinite(cov).reshape(cov.shape[0], -1).all(axis=1)
@@ -872,14 +900,15 @@ class VBInference:
         fhist = None
         if self.save_fhist:
             nit = int(np.asarray(s.it))
-            fhist = np.asarray(s.fhist)[:nit]
+            fhist = self._fetch(s.fhist)[:nit]
             # final (possibly reverted) F is appended, as in the
             # reference (inference_vb.cc:553-554)
             if f is not None:
-                fhist = np.concatenate([fhist, np.asarray(s.f)[None]], axis=0)
+                fhist = np.concatenate([fhist, np.asarray(f)[None]], axis=0)
 
         return VBResult(
             means=means, cov=cov, noise_means=nmeans, noise_cov=ncov,
-            free_energy=f, fhistory=fhist,
-            iterations=np.asarray(s.conv.its),
+            free_energy=np.asarray(f) if f is not None else None,
+            fhistory=fhist,
+            iterations=self._fetch(s.conv.its),
             bad_voxels=bad)

@@ -93,6 +93,19 @@ GLOBAL_OPTIONS = [
                "Disable the backwards-compatible default output set"),
     OptionSpec("shard-voxels", OPT_BOOL,
                "Shard the voxel axis over all available devices"),
+    OptionSpec("distributed", OPT_BOOL,
+               "Multi-host run: initialize jax.distributed, shard the "
+               "voxel axis over the global device mesh with "
+               "process-local data feeding"),
+    OptionSpec("coordinator-address", OPT_STR,
+               "host:port of process 0 (distributed mode; TPU pods "
+               "auto-detect)"),
+    OptionSpec("num-processes", OPT_INT,
+               "Total process count (distributed mode; auto-detected "
+               "on TPU pods)"),
+    OptionSpec("process-id", OPT_INT,
+               "This process's index (distributed mode; auto-detected "
+               "on TPU pods)"),
 ]
 
 

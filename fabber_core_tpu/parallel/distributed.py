@@ -128,3 +128,145 @@ def gather_result_local(arr, lo, hi):
     stay remote)."""
     sliced = arr[..., lo:hi]
     return np.asarray(jax.device_get(sliced))
+
+
+def fetch_global(x):
+    """Device array -> full numpy array on EVERY host. Single process:
+    plain np.asarray; multi-process: allgather over DCN (results are
+    small next to the input volumes)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+# -- production run path (wired from runner._dispatch) -------------------
+
+def _pad_voxel_major(arr, v_pad):
+    """Pad a voxel-major [V, ...] host array to v_pad rows by repeating
+    the last voxel (padding lanes run real arithmetic; results are
+    sliced off)."""
+    v = arr.shape[0]
+    if v_pad == v:
+        return np.asarray(arr)
+    reps = np.repeat(np.asarray(arr)[-1:], v_pad - v, axis=0)
+    return np.concatenate([np.asarray(arr), reps], axis=0)
+
+
+def pad_coords_isolated(coords, v_pad):
+    """Pad [V,3] coords with voxels guaranteed OUT of every neighbour
+    graph: placed past the volume along x with stride 2, so padding
+    voxels have no first/second neighbours among real voxels or each
+    other."""
+    coords = np.asarray(coords, float)
+    v = coords.shape[0]
+    if v_pad == v:
+        return coords
+    n = v_pad - v
+    xmax = coords[:, 0].max() if v else 0.0
+    pad = np.zeros((n, 3))
+    pad[:, 0] = xmax + 3 + 3 * np.arange(n)
+    pad[:, 1] = coords[:, 1].max() if v else 0.0
+    pad[:, 2] = coords[:, 2].max() if v else 0.0
+    return np.concatenate([coords, pad], axis=0)
+
+
+def padded_getter(getter, v_real, v_pad):
+    """Wrap a voxel-data getter so image-prior planes etc. come back
+    padded to the sharded voxel count."""
+    def get(key):
+        arr = np.asarray(getter(key))
+        if arr.ndim >= 1 and arr.shape[0] == v_real:
+            return _pad_voxel_major(arr, v_pad)
+        return arr
+    return get
+
+
+def build_engine_sharded(engine_cls, model, options, data, coords,
+                         suppdata=None, voxel_data_getter=None,
+                         mesh=None, log=None):
+    """Construct an inference engine whose voxel planes are sharded
+    over the global device mesh, with process-local feeding.
+
+    data [V,T] / coords [V,3] / suppdata [V,S] are THIS PROCESS's view
+    of the full volume (on a shared filesystem every process loads the
+    whole file; only its shard reaches its devices). Returns
+    (engine, v_real): engine.run() output must be sliced back to
+    v_real voxels (slice_result)."""
+    mesh = mesh if mesh is not None else global_voxel_mesh()
+    v_real = data.shape[0]
+    v_pad = pad_voxels(v_real, mesh)
+    lo, hi = process_voxel_range(v_pad)
+
+    dtype = np.float64 if options.get_string(
+        "dtype", "double") == "double" else np.float32
+    data_pad = _pad_voxel_major(data, v_pad).astype(dtype)
+    coords_pad = pad_coords_isolated(coords, v_pad)
+
+    data_plane = make_sharded_plane(
+        np.ascontiguousarray(data_pad[lo:hi].T), mesh, v_pad, axis=-1)
+    supp_plane = None
+    if suppdata is not None and suppdata.shape[1] > 0:
+        supp_pad = _pad_voxel_major(suppdata, v_pad).astype(dtype)
+        supp_plane = make_sharded_plane(
+            np.ascontiguousarray(supp_pad[lo:hi].T), mesh, v_pad, axis=-1)
+
+    getter = voxel_data_getter
+    if getter is not None and v_pad != v_real:
+        getter = padded_getter(getter, v_real, v_pad)
+
+    engine = engine_cls(model, options, None, coords_pad,
+                        voxel_data_getter=getter,
+                        data_plane=data_plane, supp_plane=supp_plane)
+    shard_engine_arrays(engine, mesh)
+    if v_pad != v_real:
+        # padding lanes: excised from the MRF graph + aK reduction so
+        # sharded spatial results equal the unsharded run exactly
+        engine._pre_excised = np.arange(v_pad) >= v_real
+        if hasattr(engine, "ak_nvoxels"):
+            engine.ak_nvoxels = v_real
+    engine._fetch = fetch_global
+    if log is not None:
+        log.log(f"Distributed run: {v_real} voxels (padded to {v_pad}) "
+                f"over {mesh.devices.size} devices / "
+                f"{jax.process_count()} processes")
+    return engine, v_real
+
+
+def shard_engine_arrays(engine, mesh):
+    """Re-place an engine's per-run device arrays with voxel-axis
+    shardings on the given (global) mesh; disable chunking. The
+    engine's data plane is expected to be sharded already
+    (build_engine_sharded) or locally shardable (single process)."""
+    vox_last = lambda nd: NamedSharding(
+        mesh, P(*([None] * (nd - 1) + ["vox"])))
+    engine.coords = jax.device_put(engine.coords,
+                                   vox_last(engine.coords.ndim))
+    if getattr(engine, "neigh", None) is not None \
+            and hasattr(engine, "neigh"):
+        vox_first = NamedSharding(mesh, P("vox", None))
+        engine.neigh = jax.device_put(engine.neigh, vox_first)
+        engine.neigh2 = jax.device_put(engine.neigh2, vox_first)
+    engine.options.set("voxel-chunk-size", str(engine.nvoxels))
+    # Pallas kernels are single-device programs; sharded runs take the
+    # XLA routes unless the shard_map dispatch is enabled
+    # (parallel/mesh.py shard_fused_engine)
+    engine.use_fused = False
+    engine.use_loop_kernel = False
+    engine.mesh = mesh
+    return mesh
+
+
+def slice_result(result, v_real):
+    """Drop padding voxels from a VBResult (all fields are voxel-major
+    [V,...] except fhistory [iters,V])."""
+    def cut(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return x[:v_real]
+
+    out = {f: cut(getattr(result, f)) for f in result._fields
+           if f != "fhistory"}
+    out["fhistory"] = None if result.fhistory is None \
+        else result.fhistory[:, :v_real]
+    return type(result)(**out)

@@ -86,6 +86,14 @@ def run(options, store, log=None, progress_cb=None):
     if progress_cb:
         progress_cb(nvoxels, nvoxels)
 
+    resels = getattr(engine, "coefficient_resels", None)
+    if resels is not None:
+        # Penny-2005 diagnostic, logged as the reference does
+        # (inference_vb.cc:753-755)
+        for k, val in enumerate(resels):
+            log.log(f"Vb::Coefficient resels per voxel for param "
+                    f"{k + 1}: {val:.6g}")
+
     if result.bad_voxels.any():
         n = int(result.bad_voxels.sum())
         if not options.get_bool("allow-bad-voxels"):
@@ -112,6 +120,11 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
               params, cont_means, cont_cov, log):
     getter = store.get
     shard = options.get_bool("shard-voxels")
+    distributed = options.get_bool("distributed")
+    if distributed and not options.get_bool("output-only"):
+        return _dispatch_distributed(method, model, options, data, coords,
+                                     suppdata, getter, params,
+                                     cont_means, cont_cov, log)
     if method in ("vb", "spatialvb"):
         if is_spatial(options, params):
             from .inference.spatial import SpatialVBInference
@@ -157,6 +170,48 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
     else:
         raise FabberError(f"Unrecognized inference method: {method}")
     return result, engine
+
+
+def _dispatch_distributed(method, model, options, data, coords, suppdata,
+                          getter, params, cont_means, cont_cov, log):
+    """Production multi-chip/multi-host path: voxel planes sharded over
+    the global device mesh with process-local feeding
+    (parallel/distributed.py). The green-field component the reference
+    never had (SURVEY.md section 2.8; serial loop inference_vb.cc:423).
+    """
+    from .parallel import distributed as dist
+
+    if method in ("vb", "spatialvb"):
+        if is_spatial(options, params):
+            from .inference.spatial import SpatialVBInference
+            cls = SpatialVBInference
+        else:
+            cls = VBInference
+    elif method == "nlls":
+        cls = NLLSInference
+    else:
+        raise FabberError(f"Unrecognized inference method: {method}")
+
+    mesh = dist.global_voxel_mesh()
+    engine, v_real = dist.build_engine_sharded(
+        cls, model, options, data, coords, suppdata,
+        voxel_data_getter=getter, mesh=mesh, log=log)
+
+    if method == "nlls":
+        result = engine.run()
+    else:
+        cn = None
+        if cont_means is not None:
+            v_pad = engine.nvoxels
+            cont_means = dist._pad_voxel_major(cont_means, v_pad)
+            cont_cov = dist._pad_voxel_major(cont_cov, v_pad)
+            p = len(params)
+            if cont_means.shape[1] > p:
+                cn = engine.noise.state_from_mvn(
+                    cont_means[:, p:], cont_cov[:, p:, p:])
+            cont_means, cont_cov = cont_means[:, :p], cont_cov[:, :p, :p]
+        result = engine.run(cont_means, cont_cov, cn)
+    return dist.slice_result(result, v_real), engine
 
 
 def _result_from_mvn(engine, means, cov):

@@ -106,7 +106,9 @@ class TestMoreGoldenOutputOnly:
     def test_golden_regeneration(self, dirname, method):
         """mean/zstat images regenerated from each golden finalMVN match
         the C++-written images (validates the output pipeline for all
-        inference methods' checkpoints)."""
+        inference methods' checkpoints). Zero VB iterations run: the
+        golden input volume is not shipped (docs/PARITY.md
+        "Golden-data validation")."""
         mvn_img = nifti.load(f"{REF}/{dirname}/finalMVN.nii.gz")
         mask = nifti.load(f"{REF}/test_mask_small.nii.gz").data
         dummy = np.zeros(mask.shape + (106,), np.float32)

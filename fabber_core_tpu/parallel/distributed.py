@@ -248,11 +248,9 @@ def shard_engine_arrays(engine, mesh):
         engine.neigh = jax.device_put(engine.neigh, vox_first)
         engine.neigh2 = jax.device_put(engine.neigh2, vox_first)
     engine.options.set("voxel-chunk-size", str(engine.nvoxels))
-    # Pallas kernels are single-device programs; sharded runs take the
-    # XLA routes unless the shard_map dispatch is enabled
-    # (parallel/mesh.py shard_fused_engine)
-    engine.use_fused = False
-    engine.use_loop_kernel = False
+    # Fused Pallas kernels dispatch per-shard via shard_map
+    # (inference/vb.py _shard_kernel); the padded voxel count always
+    # divides the mesh here, so eligibility is unchanged.
     engine.mesh = mesh
     return mesh
 

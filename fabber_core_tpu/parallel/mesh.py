@@ -64,11 +64,13 @@ def shard_engine(engine, devices=None):
         engine.neigh2 = jax.device_put(engine.neigh2, vox_first)
     # chunking would fight the sharding; a sharded run is one pass
     engine.options.set("voxel-chunk-size", str(engine.nvoxels))
-    # Pallas kernels are single-device programs; under GSPMD the XLA
-    # routes (stats / fixed-design / generic) shard transparently, so
-    # sharded runs take those. (Per-shard kernel dispatch via shard_map
-    # is a future optimization.)
-    engine.use_fused = False
-    engine.use_loop_kernel = False
+    # Pallas kernels are single-device programs; when the voxel count
+    # divides the mesh they dispatch per-shard via shard_map
+    # (inference/vb.py _shard_kernel), keeping the fused perf tier
+    # under sharding. Otherwise fall back to the XLA routes, which
+    # GSPMD shards transparently.
+    if engine.nvoxels % mesh.devices.size != 0:
+        engine.use_fused = False
+        engine.use_loop_kernel = False
     engine.mesh = mesh
     return mesh

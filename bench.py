@@ -96,7 +96,8 @@ def build_engine(config, nv):
         coords = np.stack([np.arange(nv) % 256, (np.arange(nv) // 256) % 256,
                            np.arange(nv) // 65536], 1).astype(np.float32)
     options = RunOptions({**opts, "max-iterations": str(iters),
-                          "dtype": "single",
+                          "dtype": os.environ.get("FABBER_BENCH_DTYPE",
+                                                  "single"),
                           "engine-kernel": os.environ.get(
                               "FABBER_BENCH_KERNEL", "auto")})
     model = get_model_class(options.get_string("model"))(options)

@@ -147,7 +147,20 @@ class SpatialVBInference(VBInference):
             if stencil_mode == "dense" or dsize <= 4 * self.nvoxels:
                 off = (ci[:, 2] * xs * ys + ci[:, 1] * xs
                        + ci[:, 0]).astype(np.int32)
-                self._dense = (xs, ys, zs, jnp.asarray(off))
+                # voxels->grid as a GATHER, not a scatter: scatters
+                # serialize on the TPU, a gather through the inverse
+                # permutation vectorizes. Full contiguous grids (off ==
+                # 0..V-1) skip indexing entirely and just reshape.
+                if dsize == self.nvoxels and np.array_equal(
+                        off, np.arange(self.nvoxels, dtype=np.int32)):
+                    inv = None   # pure reshape both ways
+                else:
+                    inv_np = np.zeros(dsize, np.int32)
+                    occ = np.zeros(dsize, bool)
+                    inv_np[off] = np.arange(self.nvoxels, dtype=np.int32)
+                    occ[off] = True
+                    inv = (jnp.asarray(inv_np), jnp.asarray(occ))
+                self._dense = (xs, ys, zs, jnp.asarray(off), inv)
 
     def _bind(self, lo=0, hi=None):
         # spatial mode never chunks (MRF coupling needs the full graph)
@@ -194,15 +207,25 @@ class SpatialVBInference(VBInference):
         actf = active.astype(self.dtype)
         out = []
         if self._dense is not None:
-            xs, ys, zs, off = self._dense
-            dsize = xs * ys * zs
+            xs, ys, zs, off, inv = self._dense
 
-            def to_dense(vals):
-                return jnp.zeros(dsize, self.dtype).at[off].set(
-                    vals).reshape(zs, ys, xs)
+            if inv is None:
+                # contiguous full grid: voxel order IS grid order
+                def to_dense(vals):
+                    return vals.reshape(zs, ys, xs)
 
-            def extract(d):
-                return d.reshape(-1)[off]
+                def extract(d):
+                    return d.reshape(-1)
+            else:
+                inv_idx, occ = inv
+
+                def to_dense(vals):
+                    return jnp.where(occ, vals[inv_idx],
+                                     jnp.zeros((), self.dtype)
+                                     ).reshape(zs, ys, xs)
+
+                def extract(d):
+                    return d.reshape(-1)[off]
 
             md = to_dense(actf)
             s_m = self._stencil_sum(md)

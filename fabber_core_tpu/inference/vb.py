@@ -114,7 +114,12 @@ def _shard_kernel(mesh, fn, in_vox_dims, out_vox_dims):
     replicated argument. No mesh -> fn runs as-is."""
     if mesh is None:
         return fn
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        noverify = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        noverify = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     def vox(nd):
@@ -123,11 +128,13 @@ def _shard_kernel(mesh, fn, in_vox_dims, out_vox_dims):
     def spec(nd):
         return P() if nd is None else vox(nd)
 
+    # replication checking is disabled: pallas_call bodies don't carry
+    # the replication info the checker wants
     return shard_map(
         fn, mesh=mesh,
         in_specs=tuple(spec(nd) for nd in in_vox_dims),
         out_specs=tuple(vox(nd) for nd in out_vox_dims),
-        check_rep=False)
+        **noverify)
 
 
 def _lane_where(mask, new, old):
@@ -203,11 +210,23 @@ class VBInference:
         so the full array never lands on one device."""
         self.model = model
         self.options = options
-        self.dtype = dtype or (jnp.float64 if options.get_string(
-            "dtype", "double") == "double" else jnp.float32)
+        dstr = options.get_string("dtype", "double")
+        if dstr not in ("double", "single", "bf16"):
+            from ..exceptions import InvalidOptionValue
+            raise InvalidOptionValue("dtype", dstr,
+                                     "Must be double, single or bf16")
+        self.dtype = dtype or (jnp.float64 if dstr == "double"
+                               else jnp.float32)
+        # bf16 tier: bfloat16 DATA STORAGE, float32 compute/accumulation
+        # — the [T,V] plane is the HBM-bandwidth term of every route, so
+        # halving its bytes pays where the one-time stats pass (or the
+        # per-iteration residual read) dominates. All state stays f32;
+        # mixed ops promote to f32 (tests/test_bf16.py pins tolerance).
+        self.store_dtype = jnp.bfloat16 if dstr == "bf16" and dtype is None \
+            else self.dtype
 
         self.data = data_plane if data_plane is not None \
-            else jnp.asarray(data, self.dtype).T          # [T,V]
+            else jnp.asarray(data, self.store_dtype).T    # [T,V]
         self.coords = jnp.asarray(coords, self.dtype).T   # [3,V]
         if supp_plane is not None:
             self.suppdata = supp_plane
@@ -367,7 +386,7 @@ class VBInference:
         if getattr(self, "use_fused", False):
             from ..ops.fused_vb import pad_time
             tp = pad_time(self.nt)
-            d = self.data[:, sl]
+            d = self.data[:, sl].astype(self.dtype)  # kernel wants f32
             # row-pad once per run (not per iteration); padded rows are
             # zero-weighted by the kernel's group-indicator matrix
             fused_data = d if tp == self.nt else jnp.pad(

@@ -283,7 +283,9 @@ class WhiteNoiseModel(NoiseModel):
         is [P,V]-plane arithmetic.
         """
         from ..ops import smallmat as sm
-        dtype = data.dtype
+        # bf16-stored data computes in f32 (storage tier only: the HBM
+        # read is half-width, every reduction accumulates in f32)
+        dtype = jnp.promote_types(data.dtype, jnp.float32)
         q = jnp.asarray(self.qmasks, dtype)  # [Q,T]
         dtqd = jnp.einsum("it,tp,tq->ipq", q, design, design)
 

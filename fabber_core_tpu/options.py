@@ -86,7 +86,9 @@ GLOBAL_OPTIONS = [
     OptionSpec("save-free-energy", OPT_BOOL, "Output free energy"),
     OptionSpec("optfile", OPT_FILE, "File of additional options"),
     OptionSpec("debug", OPT_BOOL, "Verbose numerical debug output"),
-    OptionSpec("dtype", OPT_STR, "Compute precision: double|single", default="double"),
+    OptionSpec("dtype", OPT_STR,
+               "Precision: double|single|bf16 (bf16 = bfloat16 data "
+               "storage with float32 compute)", default="double"),
     OptionSpec("gzip-log", OPT_BOOL, "Compress the logfile on normal exit"),
     OptionSpec("profile-dir", OPT_STR, "Write a jax.profiler device trace here"),
     OptionSpec("no-compat-output", OPT_BOOL,

@@ -10,6 +10,12 @@ Usage:
     finder = DescendingZeroFinder(f, guess=1.0, scale=10.0,
                                   guesstimator="riddlers", tol_y=1e-6)
     root = finder.find_zero()
+
+Why this stays despite having no engine caller: the reference ships the
+same toolkit unused (tools.h:38-338 — its last caller was the removed
+full-covariance spatial delta optimization), and downstream model
+plugins use it for scalar setup math. Parity of the plugin-facing
+surface, deliberately kept; tests/test_rootfind.py pins the behavior.
 """
 
 import math

@@ -128,6 +128,10 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
     if method in ("vb", "spatialvb"):
         if is_spatial(options, params):
             from .inference.spatial import SpatialVBInference
+            if options.get_bool("save-free-energy-history"):
+                log.warn("save-free-energy-history is a voxelwise-mode "
+                         "output; the spatial loop does not record "
+                         "per-iteration history")
             engine = SpatialVBInference(model, options, data, coords,
                                         suppdata, voxel_data_getter=getter)
         else:

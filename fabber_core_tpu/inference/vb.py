@@ -948,12 +948,16 @@ class VBInference:
 
     def _to_result(self, s, _):
         post = s.post
-        noise_means, noise_cov = self.noise.state_to_mvn(post.noise)
+        # noise state planes are [..,V]-sharded; bring them to host
+        # through _fetch (allgather under multi-process sharding) so
+        # state_to_mvn's numpy reshaping sees addressable data
+        noise_host = jax.tree_util.tree_map(self._fetch, post.noise)
+        noise_means, noise_cov = self.noise.state_to_mvn(noise_host)
 
         means = self._fetch(post.means).T.copy()           # [V,P]
         cov = np.moveaxis(self._fetch(post.cov), -1, 0).copy()  # [V,P,P]
-        nmeans = np.array(self._fetch(noise_means))  # writable copies
-        ncov = np.array(self._fetch(noise_cov))      # (bad-voxel fixup)
+        nmeans = np.array(noise_means)  # writable copies
+        ncov = np.array(noise_cov)      # (bad-voxel fixup)
         f = self._fetch(s.f) if self.need_f else None
 
         bad = ~(np.isfinite(means).all(axis=1)

@@ -46,6 +46,15 @@ def initialize(coordinator_address=None, num_processes=None,
         process_id = int(os.environ["PROCESS_ID"])
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single process
+    # TPU backends ship their own cross-process transport (ICI/DCN);
+    # the CPU backend needs an explicit collectives implementation or
+    # every process sees only its own devices. Enables the true
+    # multi-process CPU tests; harmless no-op on TPU pods.
+    try:
+        if "cpu" in str(jax.config.jax_platforms or ""):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jax without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -133,8 +142,15 @@ def gather_result_local(arr, lo, hi):
 def fetch_global(x):
     """Device array -> full numpy array on EVERY host. Single process:
     plain np.asarray; multi-process: allgather over DCN (results are
-    small next to the input volumes)."""
+    small next to the input volumes).
+
+    Host arrays and fully-addressable device arrays (values every
+    process already holds whole, e.g. a model re-evaluation at the
+    gathered posterior means) are fetched directly — allgathering
+    those would concatenate identical per-process copies."""
     if jax.process_count() == 1:
+        return np.asarray(x)
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
         return np.asarray(x)
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))

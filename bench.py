@@ -202,9 +202,14 @@ def _measure(run_once, nv, iters, config, nt_label, quiet=False):
     run_once()  # warmup (compile)
     compile_time = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    run_once()
-    elapsed = time.perf_counter() - t0
+    # best of 3: the remote-TPU tunnel adds O(10ms) dispatch jitter,
+    # comparable to the measured wall time at 1M voxels
+    reps = int(os.environ.get("FABBER_BENCH_REPS", 3))
+    elapsed = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     voxels_per_sec = nv / elapsed
     result = {

@@ -33,7 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK = 2048  # voxels per tile (state is tiny; big tiles win)
+DEFAULT_BLOCK = 16384  # voxels per tile (state is tiny; big tiles win)
+
+# The VPU's native f32 tile is (8 sublanes, 128 lanes). A [1, B] plane
+# occupies B/128 vregs at 1/8 sublane utilization; packing each logical
+# plane as [ROWS, B/ROWS] with ROWS=8 touches 8x fewer vregs per op.
+# The voxel axis is folded as V -> (ROWS, V/ROWS) outside the kernel
+# (a contiguous reshape), so plane i of a [P, V] input becomes rows
+# [i*ROWS, (i+1)*ROWS) of a [P*ROWS, V/ROWS] array.
+ROWS = 8
 
 
 def _tri(p):
@@ -59,12 +67,24 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
     ntri = len(tri)
     ti = {ij: k for k, ij in enumerate(tri)}
 
+    if block % ROWS != 0 or nvoxels % block != 0:
+        raise ValueError(
+            f"block={block} must be a multiple of ROWS={ROWS} and divide "
+            f"nvoxels={nvoxels} (caller pads)")
+
+    def plane(ref, i):
+        return ref[i * ROWS:(i + 1) * ROWS]
+
     def kernel(m0_ref, rtqr_ref, dtqr_ref, consts_ref, pm_ref, pp_ref,
                means_out, prec_out, cov_out, b_out, c_out):
         b = m0_ref.shape[-1]
 
         def cst(row):
-            return consts_ref[row:row + 1, 0:1]  # [1,1], broadcasts on B
+            # consts are packed sublane-replicated ([K*ROWS,1], see
+            # pack_consts): read the [ROWS,1] slab so the consuming
+            # arithmetic only ever broadcasts on lanes (Mosaic cannot
+            # broadcast on sublanes and lanes in one op)
+            return consts_ref[row * ROWS:(row + 1) * ROWS, 0:1]
 
         def dtqd(q, i, j):
             return cst(q * p * p + i * p + j)
@@ -75,17 +95,17 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
         b_init = [cst(base + 2 * nq + q) for q in range(nq)]
         c_init = [cst(base + 3 * nq + q) for q in range(nq)]
 
-        m0 = [m0_ref[i:i + 1] for i in range(p)]
-        pm = [pm_ref[i:i + 1] for i in range(p)]
-        pp = [pp_ref[i:i + 1] for i in range(p)]
-        rtqr = [rtqr_ref[q:q + 1] for q in range(nq)]
-        dtqr = [[dtqr_ref[q * p + a:q * p + a + 1] for a in range(p)]
+        m0 = [plane(m0_ref, i) for i in range(p)]
+        pm = [plane(pm_ref, i) for i in range(p)]
+        pp = [plane(pp_ref, i) for i in range(p)]
+        rtqr = [plane(rtqr_ref, q) for q in range(nq)]
+        dtqr = [[plane(dtqr_ref, q * p + a) for a in range(p)]
                 for q in range(nq)]
         # D'Q_i y = D'Q_i r0 + (D'Q_i D) m0 — iteration-invariant
         dtqy = [[dtqr[q][a] + sum(dtqd(q, a, j) * m0[j] for j in range(p))
                  for a in range(p)] for q in range(nq)]
 
-        ones = jnp.ones((1, b), dtype)
+        ones = jnp.ones((ROWS, b), dtype)
 
         def chol_tri(a_at):
             """Unrolled Cholesky; a_at(i,j) -> [1,B] plane (same
@@ -142,7 +162,7 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
 
         def body(_, carry):
             bc, _means, _prec, _cov = carry
-            phi = [bc[q:q + 1] * bc[nq + q:nq + q + 1] for q in range(nq)]
+            phi = [plane(bc, q) * plane(bc, nq + q) for q in range(nq)]
 
             # theta update (update_theta_stats arithmetic)
             prec = []
@@ -192,8 +212,9 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
 
         bc0 = jnp.concatenate([b_init[q] * ones for q in range(nq)]
                               + [c_init[q] * ones for q in range(nq)], 0)
-        init = (bc0, jnp.zeros((p, b), dtype),
-                jnp.zeros((ntri, b), dtype), jnp.zeros((ntri, b), dtype))
+        init = (bc0, jnp.zeros((p * ROWS, b), dtype),
+                jnp.zeros((ntri * ROWS, b), dtype),
+                jnp.zeros((ntri * ROWS, b), dtype))
         bc, means, prec_t, cov_t = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(n_iters), body, init)
 
@@ -201,17 +222,21 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
         for i in range(p):
             for j in range(p):
                 k = ti[(max(i, j), min(i, j))]
-                prec_out[i * p + j:i * p + j + 1] = prec_t[k:k + 1]
-                cov_out[i * p + j:i * p + j + 1] = cov_t[k:k + 1]
-        b_out[:] = bc[:nq]
-        c_out[:] = bc[nq:]
+                prec_out[(i * p + j) * ROWS:(i * p + j + 1) * ROWS] = \
+                    plane(prec_t, k)
+                cov_out[(i * p + j) * ROWS:(i * p + j + 1) * ROWS] = \
+                    plane(cov_t, k)
+        b_out[:] = bc[:nq * ROWS]
+        c_out[:] = bc[nq * ROWS:]
 
     grid = (nvoxels // block,)
+    bcols = block // ROWS
 
     def vox_spec(rows):
         # NB np.int32 constants: under x64 a literal 0 would make the
         # index map return mixed i64/i32, which Mosaic rejects
-        return pl.BlockSpec((rows, block), lambda i: (np.int32(0), i),
+        return pl.BlockSpec((rows * ROWS, bcols),
+                            lambda i: (np.int32(0), i),
                             memory_space=pltpu.VMEM)
 
     def fixed_spec(rows, cols):
@@ -219,7 +244,8 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
                             lambda i: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
-    nconsts = nq * p * p + 4 * nq
+    nconsts = (nq * p * p + 4 * nq) * ROWS
+    vcols = nvoxels // ROWS
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -228,28 +254,43 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
         out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
                    vox_spec(nq), vox_spec(nq)),
         out_shape=(
-            jax.ShapeDtypeStruct((p, nvoxels), dtype),
-            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
-            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
-            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
-            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((nq * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((nq * ROWS, vcols), dtype),
         ),
         interpret=interpret,
     )
 
+    def fold(x):
+        """[r, V] -> [r*ROWS, V/ROWS]: voxel axis split contiguously so
+        each plane's ROWS sublanes hold consecutive V/ROWS-strided
+        voxel groups (pure reshape, same for all planes)."""
+        r = x.shape[0]
+        return x.reshape(r, ROWS, vcols).reshape(r * ROWS, vcols)
+
+    def unfold(x):
+        r = x.shape[0] // ROWS
+        return x.reshape(r, ROWS, vcols).reshape(r, nvoxels)
+
     def run(m0, rtqr, dtqr, consts, prior_means, prior_prec):
         means, prec_f, cov_f, b, c = call(
-            m0, rtqr, dtqr.reshape(nq * p, -1), consts,
-            prior_means, prior_prec)
-        return (means, prec_f.reshape(p, p, nvoxels),
-                cov_f.reshape(p, p, nvoxels), b, c)
+            fold(m0), fold(rtqr), fold(dtqr.reshape(nq * p, -1)), consts,
+            fold(prior_means), fold(prior_prec))
+        return (unfold(means), unfold(prec_f).reshape(p, p, nvoxels),
+                unfold(cov_f).reshape(p, p, nvoxels), unfold(b),
+                unfold(c))
 
     return run
 
 
 def pack_consts(dtqd, noise_prior_b, noise_prior_c, ntimes_per_group,
                 init_b, init_c, dtype):
-    """[K,1] kernel constant vector (see make_fused_vb_loop).
+    """[K*ROWS,1] kernel constant vector (see make_fused_vb_loop).
+
+    Each constant is replicated across ROWS consecutive rows so the
+    kernel reads sublane-complete [ROWS,1] slabs (lane-only broadcast).
 
     dtqd [Q,P,P] (traced ok); noise_prior_b/c [Q,1] arrays or scalars;
     ntimes_per_group [Q] host floats; init_b/init_c python floats.
@@ -259,10 +300,11 @@ def pack_consts(dtqd, noise_prior_b, noise_prior_c, ntimes_per_group,
     c0 = jnp.asarray(noise_prior_c, dtype).reshape(nq)
     nt_g = jnp.asarray(np.asarray(ntimes_per_group, np.float32), dtype)
     c_post = (nt_g - 1.0) * 0.5 + c0
-    return jnp.concatenate([
+    flat = jnp.concatenate([
         dtqd.reshape(-1).astype(dtype),
         (1.0 / b0),
         c_post,
         jnp.full((nq,), float(init_b), dtype),
         jnp.full((nq,), float(init_c), dtype),
-    ])[:, None]
+    ])
+    return jnp.repeat(flat, ROWS)[:, None]

@@ -182,6 +182,9 @@ class VBInference:
                        "MVN data containing fixed centres for linearization"),
             OptionSpec("mcsteps", OPT_INT,
                        "Number of motion correction steps", default="0"),
+            OptionSpec("mc-dof", OPT_INT,
+                       "Motion correction degrees of freedom: 6 (rigid) "
+                       "or 12 (affine)", default="6"),
             OptionSpec("voxel-chunk-size", OPT_INT,
                        "Voxels per device pass (0 = auto from memory "
                        "budget; bounds device memory at any volume size)",
@@ -290,9 +293,13 @@ class VBInference:
             self._locked_centres = jnp.asarray(
                 lmeans[:, :self.nparams].T, self.dtype)
 
-        # Motion correction is parsed but (as in this reference snapshot,
-        # inference_vb.cc:116 with no run_mc caller) not executed
+        # Motion correction (core/motion.py): mcsteps>0 interleaves
+        # per-timepoint rigid/affine re-registration of the ORIGINAL
+        # data to the current model prediction between VB passes
+        # (motioncorr.cc:70-94 semantics; the reference parses mcsteps
+        # at inference_vb.cc:116 but its run_mc hook needs FSL mcflirt)
         self.num_mcsteps = options.get_int("mcsteps", 0)
+        self.mc_dof = options.get_int("mc-dof", 6)
 
         # Fused Pallas iteration: white noise / time-local model / no
         # locked-linear / f32 compute (Mosaic has no f64). Noise
@@ -714,11 +721,14 @@ class VBInference:
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
             nv = m0.shape[-1]
-            block = next((bb for bb in (2048, 1024, 512, 256, 128)
+            # block = voxels per tile; must be a multiple of the
+            # kernel's sublane fold (ROWS=8 -> >=1024 keeps >=1 full
+            # lane tile per plane)
+            block = next((bb for bb in (16384, 8192, 4096, 2048, 1024)
                           if nv % bb == 0), None)
             pad = 0
             if block is None:
-                block = 128
+                block = 1024
                 pad = (-nv) % block
 
             def pad_v(x):
@@ -870,6 +880,37 @@ class VBInference:
         return max(16384, int(budget / per_vox))
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        result = self._run_vb(continue_means, continue_cov, continue_noise)
+        if self.num_mcsteps <= 0 or type(self) is not VBInference:
+            return result
+        return self._run_mc_steps(result)
+
+    def _run_mc_steps(self, result):
+        """Interleave motion correction with VB continuation passes
+        (MCobj::run_mc semantics: per-timepoint transforms estimated
+        from the ORIGINAL data against the current model fit)."""
+        from ..core.motion import register_timeseries
+
+        orig = np.asarray(self._fetch(self.data), np.float64)
+        coords = np.asarray(self._fetch(self.coords)).T        # [V,3]
+        shape = tuple(int(c) + 1 for c in coords.max(axis=0))
+        self.mc_translations = []  # per-step max |translation|, logged
+        for step in range(self.num_mcsteps):
+            fit = np.asarray(self._fetch(self.evaluate_model(
+                np.asarray(result.means).T)))                  # [T,V]
+            realigned, params = register_timeseries(
+                orig, fit, coords, shape, dof=self.mc_dof)
+            self.mc_translations.append(float(np.abs(params[:, :3]).max()))
+            self.data = jnp.asarray(realigned, self.data.dtype)
+            cn = self.noise.state_from_mvn(result.noise_means,
+                                           result.noise_cov)
+            result = self._run_vb(continue_means=result.means,
+                                  continue_cov=result.cov,
+                                  continue_noise=cn)
+        return result
+
+    def _run_vb(self, continue_means=None, continue_cov=None,
+                continue_noise=None):
         if self.use_loop_kernel and (continue_means is not None
                                      or continue_noise is not None):
             # the kernel always starts from the model-default init; a

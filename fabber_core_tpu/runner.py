@@ -86,6 +86,12 @@ def run(options, store, log=None, progress_cb=None):
     if progress_cb:
         progress_cb(nvoxels, nvoxels)
 
+    mc_shifts = getattr(engine, "mc_translations", None)
+    if mc_shifts:
+        for k, val in enumerate(mc_shifts):
+            log.log(f"Motion correction step {k + 1}/{len(mc_shifts)}: "
+                    f"max |translation| {val:.4f} voxels")
+
     resels = getattr(engine, "coefficient_resels", None)
     if resels is not None:
         # Penny-2005 diagnostic, logged as the reference does

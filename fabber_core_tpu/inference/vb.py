@@ -347,9 +347,18 @@ class VBInference:
         # save/revert) + iteration-invariant priors (non-ARD,
         # non-spatial) + f32 + no per-iteration F history (final F is
         # assembled outside the kernel from the same stats).
+        noise_name = getattr(self.noise, "name", "")
+        # AR(1) loop kernel covers the single-echo no-cross-terms case
+        # with the model-default (diagonal) alpha prior
+        loop_noise_ok = (
+            noise_name == "white"
+            or (noise_name == "ar" and self.noise.nphis == 1
+                and self.noise.nalphas == 2
+                and options.get_string("noise-initial-prior",
+                                       "modeldefault") == "modeldefault"))
         loop_eligible = (
             self.use_stats
-            and getattr(self.noise, "name", "") == "white"
+            and loop_noise_ok
             and kernel_mode in ("auto", "pallas-loop")
             and options.get_string("continue-from-mvn", "") == ""
             and type(self.detector).name == "maxits" and not self.is_lm
@@ -791,9 +800,106 @@ class VBInference:
 
         return loop
 
+    def _compiled_loop_kernel_ar(self):
+        """AR(1) whole-loop Pallas route (ops/fused_loop_ar.py):
+        single-echo/no-cross-terms stats -> final posterior + AR noise
+        state in one kernel. Arithmetic identical to the XLA stats
+        route (update_theta_stats / update_noise_stats)."""
+        from ..noise.ar1 import Ar1NoiseState
+        from ..ops.fused_loop_ar import make_fused_ar_loop, pack_ar_consts
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        init_acov00 = float(post1.alpha_cov[0, 0, 0])
+        init_aprec00 = float(post1.alpha_prec[0, 0, 0])
+        ap11 = float(self.noise_prior.alpha_prec[1, 1, 0])
+        n_iters = int(self.detector.max_iterations)
+        p = self.nparams
+
+        def run_local(m0, rmr, dmr, consts, prior_means, prior_prec):
+            nv = m0.shape[-1]
+            block = next((bb for bb in (16384, 8192, 4096, 2048, 1024)
+                          if nv % bb == 0), None)
+            pad = 0
+            if block is None:
+                block = 1024
+                pad = (-nv) % block
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_ar_loop(
+                p, n_iters, nv + pad, self.dtype,
+                block=block, interpret=self.loop_interpret)
+            outs = fused(pad_v(m0), pad_v(rmr), pad_v(dmr),
+                         consts, pad_v(prior_means), pad_v(prior_prec))
+            if pad:
+                outs = tuple(o[..., :nv] for o in outs)
+            return outs
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, 2, 3, None, 2, 2),
+            out_vox_dims=(2, 3, 3, 2, 2, 2, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            consts = pack_ar_consts(
+                stats.dmd, self.noise_prior.alpha_prec,
+                self.noise_prior.b, self.noise_prior.c,
+                self.noise.ntimes, init_b, init_c, init_acov00,
+                init_aprec00, self.dtype)
+            (means, prec, cov, amu0, acov00, aprec00, nb,
+             nc) = dispatch(stats.m0, stats.rmr, stats.dmr, consts,
+                            prior_means, prior_prec)
+
+            # reassemble the 2x2 alpha MVN: only alpha_1 is updated in
+            # the no-cross-terms basis; alpha_2 keeps its prior
+            zero = jnp.zeros_like(amu0[0])
+            alpha_means = jnp.stack([amu0[0], zero])
+            alpha_cov = jnp.stack([
+                jnp.stack([acov00[0], zero]),
+                jnp.stack([zero, jnp.full_like(zero, 1.0 / ap11)])])
+            alpha_prec = jnp.stack([
+                jnp.stack([aprec00[0], zero]),
+                jnp.stack([zero, jnp.full_like(zero, ap11)])])
+            noise_post = Ar1NoiseState(
+                alpha_means=alpha_means, alpha_cov=alpha_cov,
+                alpha_prec=alpha_prec, b=nb, c=nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if self.need_f:
+                f = self.noise.free_energy_stats(
+                    noise_post, self.noise_prior, means, prec, cov,
+                    prior_means, prior_prec, stats)
+            else:
+                f = s.f
+            conv = s.conv._replace(
+                its=jnp.full(nv, n_iters, jnp.int32),
+                done=jnp.ones(nv, bool))
+            out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
         if self.use_loop_kernel:
+            if getattr(self.noise, "name", "") == "ar":
+                return self._compiled_loop_kernel_ar()
             return self._compiled_loop_kernel()
         def cond(s):
             return (~jnp.all(s.conv.done)) & (s.it < self.max_iter_cap)

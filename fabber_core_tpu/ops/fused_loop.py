@@ -49,6 +49,69 @@ def _tri(p):
     return [(i, j) for i in range(p) for j in range(i + 1)]
 
 
+def make_plane_algebra(p, dtype):
+    """Unrolled small-matrix algebra on [ROWS,B] planes for in-kernel
+    use (same arithmetic as ops/smallmat.py). Returns
+    (tri, ti, chol_tri_jittered, inv_from_chol):
+
+    - chol_tri_jittered(a_at): a_at(i,j) -> plane; jitter-retry
+      Cholesky (lanes whose plain factorization produced a non-finite
+      diagonal are refactorized with +1e-10 on the diagonal, mirroring
+      ops/smallmat.cholesky_jittered's degradation path);
+    - inv_from_chol(ch): tri-indexed factor list -> {(i,j): plane}
+      full inverse.
+    """
+    tri = _tri(p)
+    ntri = len(tri)
+    ti = {ij: k for k, ij in enumerate(tri)}
+
+    def chol_tri(a_at):
+        ch = [None] * ntri
+        for i in range(p):
+            s = a_at(i, i)
+            for k in range(i):
+                s = s - ch[ti[(i, k)]] ** 2
+            ch[ti[(i, i)]] = jnp.sqrt(s)
+            inv_d = 1.0 / ch[ti[(i, i)]]
+            for j in range(i + 1, p):
+                s = a_at(j, i)
+                for k in range(i):
+                    s = s - ch[ti[(j, k)]] * ch[ti[(i, k)]]
+                ch[ti[(j, i)]] = s * inv_d
+        return ch
+
+    def chol_tri_jittered(a_at):
+        ch0 = chol_tri(a_at)
+        bad = ~jnp.isfinite(ch0[ti[(0, 0)]])
+        for i in range(1, p):
+            bad = bad | ~jnp.isfinite(ch0[ti[(i, i)]])
+        jit = jnp.where(bad, dtype(1e-10), dtype(0.0))
+        return chol_tri(lambda i, j: a_at(i, j) + (jit if i == j
+                                                   else dtype(0.0)))
+
+    def inv_from_chol(ch):
+        invl = {}
+        for i in range(p):
+            invl[(i, i)] = 1.0 / ch[ti[(i, i)]]
+        for i in range(p):
+            for j in range(i - 1, -1, -1):
+                s = 0.0
+                for k in range(j + 1, i + 1):
+                    s = s + ch[ti[(k, j)]] * invl[(i, k)]
+                invl[(i, j)] = -s / ch[ti[(j, j)]]
+        cv = {}
+        for i in range(p):
+            for j in range(i + 1):
+                s = 0.0
+                for k in range(i, p):
+                    s = s + invl[(k, i)] * invl[(k, j)]
+                cv[(i, j)] = s
+                cv[(j, i)] = s
+        return cv
+
+    return tri, ti, chol_tri_jittered, inv_from_chol
+
+
 def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
                        locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
                        interpret=False):
@@ -63,9 +126,8 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
     (see pack_consts).
     """
     p = nparams
-    tri = _tri(p)
+    tri, ti, chol_tri_jittered, inv_from_chol = make_plane_algebra(p, dtype)
     ntri = len(tri)
-    ti = {ij: k for k, ij in enumerate(tri)}
 
     if block % ROWS != 0 or nvoxels % block != 0:
         raise ValueError(
@@ -106,59 +168,6 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
                  for a in range(p)] for q in range(nq)]
 
         ones = jnp.ones((ROWS, b), dtype)
-
-        def chol_tri(a_at):
-            """Unrolled Cholesky; a_at(i,j) -> [1,B] plane (same
-            arithmetic as ops/smallmat.cholesky_planes)."""
-            ch = [None] * ntri
-            for i in range(p):
-                s = a_at(i, i)
-                for k in range(i):
-                    s = s - ch[ti[(i, k)]] ** 2
-                ch[ti[(i, i)]] = jnp.sqrt(s)
-                inv_d = 1.0 / ch[ti[(i, i)]]
-                for j in range(i + 1, p):
-                    s = a_at(j, i)
-                    for k in range(i):
-                        s = s - ch[ti[(j, k)]] * ch[ti[(i, k)]]
-                    ch[ti[(j, i)]] = s * inv_d
-            return ch
-
-        def chol_tri_jittered(a_at):
-            """Jitter-retry Cholesky, mirroring
-            ops/smallmat.cholesky_jittered: lanes whose plain
-            factorization produced a non-finite diagonal are
-            refactorized with +1e-10 on the diagonal (so a pathological
-            voxel degrades exactly as on the XLA stats route instead of
-            going NaN for all remaining iterations)."""
-            ch0 = chol_tri(a_at)
-            bad = ~jnp.isfinite(ch0[ti[(0, 0)]])
-            for i in range(1, p):
-                bad = bad | ~jnp.isfinite(ch0[ti[(i, i)]])
-            jit = jnp.where(bad, dtype(1e-10), dtype(0.0))
-            return chol_tri(lambda i, j: a_at(i, j) + (jit if i == j
-                                                       else dtype(0.0)))
-
-        def inv_from_chol(ch):
-            """A^-1 from L (ops/smallmat.inverse_from_chol), dict."""
-            invl = {}
-            for i in range(p):
-                invl[(i, i)] = 1.0 / ch[ti[(i, i)]]
-            for i in range(p):
-                for j in range(i - 1, -1, -1):
-                    s = 0.0
-                    for k in range(j + 1, i + 1):
-                        s = s + ch[ti[(k, j)]] * invl[(i, k)]
-                    invl[(i, j)] = -s / ch[ti[(j, j)]]
-            cv = {}
-            for i in range(p):
-                for j in range(i + 1):
-                    s = 0.0
-                    for k in range(i, p):
-                        s = s + invl[(k, i)] * invl[(k, j)]
-                    cv[(i, j)] = s
-                    cv[(j, i)] = s
-            return cv
 
         def body(_, carry):
             bc, _means, _prec, _cov = carry

@@ -118,7 +118,12 @@ CONFIG_SCALE = {"poly": 1.0, "biexp": 0.25, "ar1": 0.5, "spatial": 1.0}
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    nv = int(os.environ.get("FABBER_BENCH_VOXELS", 1_000_000))
+    # 4M voxels amortizes the remote-TPU tunnel's ~26ms dispatch+sync
+    # round trip (pure dev-harness latency, not framework time); a
+    # 12GB chunk budget keeps the run to ONE dispatch (chunk dispatches
+    # serialize with a full round trip each on the tunnel)
+    os.environ.setdefault("FABBER_TPU_MEM_GB", "12")
+    nv = int(os.environ.get("FABBER_BENCH_VOXELS", 4_000_000))
     config = os.environ.get("FABBER_BENCH_CONFIG", "all")
 
     if config == "all":

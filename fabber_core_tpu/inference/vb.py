@@ -190,10 +190,11 @@ class VBInference:
                        "budget; bounds device memory at any volume size)",
                        default="0"),
             OptionSpec("engine-kernel", OPT_STR,
-                       "Iteration backend: auto (fused Pallas kernels on "
-                       "TPU when eligible), pallas (per-iteration "
+                       "Iteration backend: auto (spectral/fused Pallas "
+                       "on TPU when eligible), pallas (per-iteration "
                        "time-signal kernel), pallas-loop (whole-loop "
-                       "stats kernel), or xla", default="auto"),
+                       "stats kernel), spectral (eigenbasis scalar "
+                       "fixed point), or xla", default="auto"),
             OptionSpec("fixed-design-route", OPT_STR,
                        "Fixed-design update arithmetic: stats (sufficient "
                        "statistics; the iteration loop never touches "
@@ -359,7 +360,7 @@ class VBInference:
         loop_eligible = (
             self.use_stats
             and loop_noise_ok
-            and kernel_mode in ("auto", "pallas-loop")
+            and kernel_mode in ("auto", "pallas-loop", "spectral")
             and options.get_string("continue-from-mvn", "") == ""
             and type(self.detector).name == "maxits" and not self.is_lm
             # zero-trip kernel would emit an all-zero posterior instead
@@ -377,8 +378,29 @@ class VBInference:
             self.loop_interpret = jax.default_backend() != "tpu"
         else:  # auto: interpreted Pallas is slow, engage on real TPU only
             self.use_loop_kernel = (loop_eligible
-                                    and jax.default_backend() == "tpu")
+                                    and jax.default_backend() == "tpu"
+                                    and kernel_mode != "spectral")
             self.loop_interpret = False
+
+        # Spectral route (ops/spectral.py): with ONE phi group the
+        # fixed point collapses to a scalar rational iteration per
+        # voxel in the whitened design eigenbasis — ~20 flops per
+        # voxel-iteration, pure XLA. Same gates as the loop kernel
+        # plus single-group/unlocked noise; preferred over the Pallas
+        # loop kernel when both are eligible.
+        spectral_eligible = (
+            loop_eligible
+            and noise_name == "white"
+            and self.noise.nphis == 1
+            and self.noise.locked_noise_stdev <= 0)
+        if kernel_mode == "spectral":
+            self.use_spectral = spectral_eligible
+        else:
+            self.use_spectral = (spectral_eligible
+                                 and kernel_mode == "auto"
+                                 and jax.default_backend() == "tpu")
+        if self.use_spectral:
+            self.use_loop_kernel = True  # shared run()/dispatch gates
 
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
@@ -895,9 +917,72 @@ class VBInference:
 
         return loop
 
+    def _compiled_loop_spectral(self):
+        """Spectral route (ops/spectral.py): scalar rational fixed
+        point in the whitened design eigenbasis. Same fixed point as
+        the stats route; see the module docstring for the algebra."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.spectral import make_spectral_loop
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        b0 = float(np.asarray(self.noise_prior.b).reshape(-1)[0])
+        c0 = float(np.asarray(self.noise_prior.c).reshape(-1)[0])
+        nt_g = float(np.asarray(self.noise.ntimes_per_group).reshape(-1)[0])
+        n_iters = int(self.detector.max_iterations)
+        p = self.nparams
+
+        spectral = make_spectral_loop(
+            np.asarray(self.design, np.float64),
+            np.asarray(self.noise.qmasks, np.float64)[0],
+            np.asarray(self.prior_setup.base_precs, np.float64),
+            n_iters, init_b, init_c,
+            inv_b0=1.0 / b0, c_post=(nt_g - 1.0) * 0.5 + c0,
+            dtype=self.dtype)
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), spectral,
+            in_vox_dims=(2, 2, 2, 2),
+            out_vox_dims=(2, 3, 3, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            means, prec, cov, nb, nc = dispatch(
+                stats.m0, stats.rtqr[0][None, :].astype(self.dtype),
+                stats.dtqr[0].astype(self.dtype), prior_means)
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if self.need_f:
+                f = self.noise.free_energy_stats(
+                    noise_post, self.noise_prior, means, prec, cov,
+                    prior_means, prior_prec, stats)
+            else:
+                f = s.f
+            conv = s.conv._replace(
+                its=jnp.full(nv, n_iters, jnp.int32),
+                done=jnp.ones(nv, bool))
+            out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
         if self.use_loop_kernel:
+            if getattr(self, "use_spectral", False):
+                return self._compiled_loop_spectral()
             if getattr(self.noise, "name", "") == "ar":
                 return self._compiled_loop_kernel_ar()
             return self._compiled_loop_kernel()

@@ -612,7 +612,9 @@ class VBInference:
                 nparams=self.nparams, nt=self.nt, nvoxels=nv + pad,
                 dtype=self.dtype, need_f=self.need_f,
                 qmasks=self.noise.qmasks, block=block,
-                with_lm=self.is_lm, interpret=self.fused_interpret)
+                with_lm=self.is_lm, interpret=self.fused_interpret,
+                time_signal_jac=getattr(self.model, "time_signal_jac",
+                                        None))
             out = fused(pad_v(centre), pad_v(pm), pad_v(pp), pad_v(phi),
                         pad_v(fdata), pad_v(alpha) if self.is_lm else None)
             if pad:

@@ -53,3 +53,16 @@ class PolynomialModel(Model):
             sig = sig + params[i] * power
             power = power * tv
         return sig
+
+    def time_signal_jac(self, params, t):
+        """Analytic Jacobian: ds/dc_k = t^k (shared with the primal).
+        Rows are materialized [TB,B] (the kernel stages them in VMEM)."""
+        tv = t + 1.0
+        sig = params[0]
+        jac = [jnp.ones_like(tv) * jnp.ones_like(params[0])]
+        power = tv
+        for i in range(1, self.degree + 1):
+            sig = sig + params[i] * power
+            jac.append(power * jnp.ones_like(params[i]))
+            power = power * tv
+        return sig, jac

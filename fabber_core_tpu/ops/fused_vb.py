@@ -55,7 +55,8 @@ def pad_time(nt):
 
 def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
                          dtype, need_f, qmasks, block=DEFAULT_BLOCK,
-                         with_lm=False, interpret=False):
+                         with_lm=False, interpret=False,
+                         time_signal_jac=None):
     """Build the fused iteration callable.
 
     time_signal(model_params [P] list of [1,B] planes, t [TB,1]) ->
@@ -64,6 +65,12 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
     transforms: per-parameter Transform objects (latent -> model).
     qmasks: numpy [Q,T] 0/1 group indicators (masked timepoints in no
     group).
+    time_signal_jac (optional): analytic variant returning
+    (signal [TB,B], [P x [TB,B]] model-space Jacobian rows); when
+    given, the per-block jax.linearize replay (one full linear-map
+    application per parameter) is replaced by one evaluation, with the
+    latent->model chain factors hoisted out of the time loop (they do
+    not depend on t).
 
     Returns fn(centre [P,V], prior_means [P,V], prior_prec [P,V],
                phi_mean [Q,V], data [Tp,V], lm_alpha [V] or None)
@@ -86,29 +93,55 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
     def to_model(latent_rows):
         return [tr.to_model(latent_rows[i]) for i, tr in enumerate(transforms)]
 
-    def signal_and_jac(latent_rows, t0):
-        """Signal [TB,B] and latent-space Jacobian rows (P x [TB,B])
-        for the time block starting at t0."""
-        tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
-        tf = tidx.astype(dtype)
+    def chain_factors(latent_rows):
+        """d model_i / d latent_i, one [1,B] plane per parameter —
+        time-independent, so hoisted out of the time-block loops."""
+        out = []
+        for i, tr in enumerate(transforms):
+            _, d = jax.jvp(tr.to_model, (latent_rows[i],),
+                           (jnp.ones_like(latent_rows[i]),))
+            out.append(d)
+        return out
 
-        def f(stack):
-            rows = [stack[i:i + 1] for i in range(p)]
-            return time_signal(to_model(rows), tf)
+    def make_signal_and_jac(latent_rows):
+        """Returns block_fn(t0) -> (sig [TB,B], P x [TB,B] latent-space
+        Jacobian rows), with per-voxel (time-independent) work hoisted."""
+        if time_signal_jac is not None:
+            mrows = to_model(latent_rows)
+            chain = chain_factors(latent_rows)
 
-        stack = jnp.concatenate(latent_rows, axis=0)  # [P,B]
-        b = stack.shape[-1]
-        # linearize evaluates the primal once; each Jacobian row is then
-        # one cheap application of the linear map (vs P+1 full evals)
-        sig, f_jvp = jax.linearize(f, stack)
-        jrows = []
-        for i in range(p):
-            # basis tangent built without scatter (Mosaic has no scatter)
-            basis = jnp.concatenate(
-                [jnp.ones((1, b), dtype) if j == i
-                 else jnp.zeros((1, b), dtype) for j in range(p)], axis=0)
-            jrows.append(f_jvp(basis))
-        return sig, jrows
+            def block_fn(t0):
+                tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
+                tf = tidx.astype(dtype)
+                sig, jm = time_signal_jac(mrows, tf)
+                return sig, [jm[i] * chain[i] for i in range(p)]
+
+            return block_fn
+
+        def block_fn(t0):
+            tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
+            tf = tidx.astype(dtype)
+
+            def f(stack):
+                rows = [stack[i:i + 1] for i in range(p)]
+                return time_signal(to_model(rows), tf)
+
+            stack = jnp.concatenate(latent_rows, axis=0)  # [P,B]
+            b = stack.shape[-1]
+            # linearize evaluates the primal once; each Jacobian row is
+            # then one application of the linear map (vs P+1 full evals)
+            sig, f_jvp = jax.linearize(f, stack)
+            jrows = []
+            for i in range(p):
+                # basis tangent without scatter (Mosaic has no scatter)
+                basis = jnp.concatenate(
+                    [jnp.ones((1, b), dtype) if j == i
+                     else jnp.zeros((1, b), dtype) for j in range(p)],
+                    axis=0)
+                jrows.append(f_jvp(basis))
+            return sig, jrows
+
+        return block_fn
 
     def kernel(*refs):
         if with_lm:
@@ -131,10 +164,12 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             return jnp.sum(x, axis=0, keepdims=True)
 
         # ---- pass A: per-group J'Q_iJ, J'Q_i r at the centre ----------
+        centre_block_fn = make_signal_and_jac(centre)
+
         def body_a(tb, carry):
             jtjq, jtrq = carry  # [Q*ntri,B], [Q*P,B]
             t0 = tb * jnp.int32(TB)
-            sig, jrows = signal_and_jac(centre, t0)
+            sig, jrows = centre_block_fn(t0)
             r = data_ref[pl.ds(t0, TB), :] - sig
             rsc[pl.ds(t0, TB), :] = r
             for a in range(p):
@@ -305,10 +340,12 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
 
         # ---- pass C: free-energy quadratics at the NEW means ----------
         if need_f:
+            means_block_fn = make_signal_and_jac(means)
+
             def body_c(tb, carry):
                 kqk2, jtjq2 = carry
                 t0 = tb * jnp.int32(TB)
-                sig, jrows = signal_and_jac(means, t0)
+                sig, jrows = means_block_fn(t0)
                 kblk = data_ref[pl.ds(t0, TB), :] - sig
                 k2 = kblk * kblk
                 add_kqk, add_jtj = [], []

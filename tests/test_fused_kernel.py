@@ -75,3 +75,37 @@ def test_gating():
     # on CPU, auto mode stays on the XLA route
     eng = make_engine(64, "auto")
     assert not eng.use_fused
+
+
+def test_time_signal_jac_matches_autodiff():
+    """Models' analytic time_signal_jac == jax.jacfwd of time_signal
+    (the fused kernel trusts the analytic rows when present)."""
+    import jax
+    import jax.numpy as jnp
+    from fabber_core_tpu.models import get_model_class
+    from fabber_core_tpu.options import RunOptions
+
+    cases = [
+        ("biexp", {"model": "biexp", "dt": "0.03"}, [1.2, 0.9, 0.5, 4.0]),
+        ("exp", {"model": "exp", "dt": "0.05"}, [1.0, 1.5]),
+        ("poly", {"model": "poly", "degree": "2"}, [0.3, -0.1, 0.02]),
+    ]
+    t = jnp.arange(8, dtype=jnp.float64).reshape(8, 1)
+    for name, opts, vals in cases:
+        model = get_model_class(name)(RunOptions(opts))
+        rows = [jnp.full((1, 5), v) for v in vals]
+
+        sig_a, jac_a = model.time_signal_jac(rows, t)
+        sig_ref = model.time_signal(rows, t)
+        np.testing.assert_allclose(np.asarray(sig_a),
+                                   np.asarray(sig_ref), rtol=1e-12)
+
+        for i in range(len(vals)):
+            def f(x, i=i):
+                r = rows[:i] + [x] + rows[i + 1:]
+                return model.time_signal(r, t)
+            _, jrow = jax.jvp(f, (rows[i],), (jnp.ones_like(rows[i]),))
+            np.testing.assert_allclose(
+                np.broadcast_to(np.asarray(jac_a[i]), jrow.shape),
+                np.asarray(jrow), rtol=1e-10, atol=1e-12,
+                err_msg=f"{name} param {i}")

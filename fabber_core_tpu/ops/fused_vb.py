@@ -164,10 +164,14 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             return jnp.sum(x, axis=0, keepdims=True)
 
         # ---- pass A: per-group J'Q_iJ, J'Q_i r at the centre ----------
+        # The loop carries [TB,B] PARTIAL-SUM planes (one per quadratic)
+        # and reduces across sublanes ONCE after the loop: cross-sublane
+        # reductions are multi-cycle, so paying ntb of them per
+        # quadratic was the kernel's hot spot.
         centre_block_fn = make_signal_and_jac(centre)
 
         def body_a(tb, carry):
-            jtjq, jtrq = carry  # [Q*ntri,B], [Q*P,B]
+            jtjq, jtrq = carry  # tuples of [TB,B] partial-sum planes
             t0 = tb * jnp.int32(TB)
             sig, jrows = centre_block_fn(t0)
             r = data_ref[pl.ds(t0, TB), :] - sig
@@ -178,16 +182,19 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             for qi in range(nq):
                 w = qw(qi, t0)
                 for i, j in tri:
-                    add_jtj.append(rsum(w * jrows[i] * jrows[j]))
+                    add_jtj.append(w * jrows[i] * jrows[j])
                 for a in range(p):
-                    add_jtr.append(rsum(w * jrows[a] * r))
-            return (jtjq + jnp.concatenate(add_jtj, 0),
-                    jtrq + jnp.concatenate(add_jtr, 0))
+                    add_jtr.append(w * jrows[a] * r)
+            return (tuple(x + y for x, y in zip(jtjq, add_jtj)),
+                    tuple(x + y for x, y in zip(jtrq, add_jtr)))
 
-        jtjq0 = jnp.zeros((nq * ntri, b), dtype)
-        jtrq0 = jnp.zeros((nq * p, b), dtype)
-        jtjq, jtrq = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb),
-                                       body_a, (jtjq0, jtrq0))
+        zero_tb = jnp.zeros((TB, b), dtype)
+        jtjq_t, jtrq_t = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(ntb), body_a,
+            (tuple(zero_tb for _ in range(nq * ntri)),
+             tuple(zero_tb for _ in range(nq * p))))
+        jtjq = jnp.concatenate([rsum(x) for x in jtjq_t], 0)
+        jtrq = jnp.concatenate([rsum(x) for x in jtrq_t], 0)
 
         phis = [phi_ref[qi:qi + 1] for qi in range(nq)]
 
@@ -314,12 +321,11 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             for i in range(p):
                 k = k + jsc[pl.ds(jnp.int32(i * tp) + t0, TB), :] * delta_cm[i]
             k2 = k * k
-            return jnp.concatenate(
-                [kqk[qi:qi + 1] + rsum(qw(qi, t0) * k2)
-                 for qi in range(nq)], 0)
+            return tuple(kqk[qi] + qw(qi, t0) * k2 for qi in range(nq))
 
-        nkqk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb), body_b,
-                                 jnp.zeros((nq, b), dtype))
+        nkqk_t = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb), body_b,
+                                   tuple(zero_tb for _ in range(nq)))
+        nkqk = jnp.concatenate([rsum(x) for x in nkqk_t], 0)
         ntr_rows = []
         for qi in range(nq):
             tr = 0.0
@@ -343,7 +349,7 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
             means_block_fn = make_signal_and_jac(means)
 
             def body_c(tb, carry):
-                kqk2, jtjq2 = carry
+                kqk2, jtjq2 = carry  # tuples of [TB,B] partials
                 t0 = tb * jnp.int32(TB)
                 sig, jrows = means_block_fn(t0)
                 kblk = data_ref[pl.ds(t0, TB), :] - sig
@@ -351,16 +357,18 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
                 add_kqk, add_jtj = [], []
                 for qi in range(nq):
                     w = qw(qi, t0)
-                    add_kqk.append(rsum(w * k2))
+                    add_kqk.append(w * k2)
                     for i, j in tri:
-                        add_jtj.append(rsum(w * jrows[i] * jrows[j]))
-                return (kqk2 + jnp.concatenate(add_kqk, 0),
-                        jtjq2 + jnp.concatenate(add_jtj, 0))
+                        add_jtj.append(w * jrows[i] * jrows[j])
+                return (tuple(x + y for x, y in zip(kqk2, add_kqk)),
+                        tuple(x + y for x, y in zip(jtjq2, add_jtj)))
 
-            kqk2, jtjq2 = jax.lax.fori_loop(
+            kqk2_t, jtjq2_t = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(ntb), body_c,
-                (jnp.zeros((nq, b), dtype),
-                 jnp.zeros((nq * ntri, b), dtype)))
+                (tuple(zero_tb for _ in range(nq)),
+                 tuple(zero_tb for _ in range(nq * ntri))))
+            kqk2 = jnp.concatenate([rsum(x) for x in kqk2_t], 0)
+            jtjq2 = jnp.concatenate([rsum(x) for x in jtjq2_t], 0)
             ftr_rows = []
             for qi in range(nq):
                 tr2 = 0.0

@@ -17,8 +17,22 @@ Semantics mirrored from motioncorr.cc:
 - the target is the model prediction at the current posterior means;
 - 10 optimizer iterations per call (num_iter, motioncorr.cc:47).
 
+Gauge fixing: registering every volume to the model prediction leaves
+a common-mode transform undetermined (the fit sits at the
+motion-weighted centroid, so ALL volumes would be dragged to it and
+resampled). The output frame is anchored by composing each estimated
+transform with the EXACT inverse of the componentwise-median-parameter
+transform (the analogue of mcflirt's reference-volume anchoring);
+volumes whose adjusted transform is near-identity pass through
+unresampled, so still timepoints pay no interpolation-smoothing cost.
+
+Dispatch shape: ONE jitted lax.map over timepoints for estimation and
+one for application (the remote-TPU tunnel charges ~26ms per
+dispatch+sync, so per-timepoint dispatches would dominate); only the
+[T,3] translation diagnostics are fetched to host.
+
 Limitations (documented, not hidden): single-resolution Gauss-Newton
-on the SSD cost, so the capture range is roughly +-2 voxels of
+on a demeaned-SSD cost, so the capture range is roughly +-2 voxels of
 translation / a few degrees of rotation — adequate for the
 between-iteration correction loop this implements (motion shrinks as
 the fit improves), not a general-purpose replacement for a
@@ -52,6 +66,14 @@ def _rotation(rx, ry, rz):
     return rz_m @ ry_m @ rx_m
 
 
+def _linear_part(params, dof, dtype):
+    if dof == 6:
+        return _rotation(params[3], params[4], params[5])
+    if dof == 12:
+        return jnp.eye(3, dtype=dtype) + params[3:12].reshape(3, 3)
+    raise ValueError(f"dof must be 6 or 12, got {dof}")
+
+
 def _warp_coords(params, coords, centre, dof):
     """Transformed sample coordinates [3,V].
 
@@ -60,14 +82,17 @@ def _warp_coords(params, coords, centre, dof):
     centre.
     """
     t = params[:3][:, None]
-    centred = coords - centre[:, None]
-    if dof == 6:
-        a = _rotation(params[3], params[4], params[5])
-    elif dof == 12:
-        a = jnp.eye(3, dtype=params.dtype) + params[3:12].reshape(3, 3)
-    else:
-        raise ValueError(f"dof must be 6 or 12, got {dof}")
-    return a @ centred + centre[:, None] + t
+    a = _linear_part(params, dof, params.dtype)
+    return a @ (coords - centre[:, None]) + centre[:, None] + t
+
+
+def params_to_affine(params, centre, dof):
+    """(A [3,3], b [3]) with S(x) = A x + b equal to the centred
+    parameterization A(x-c)+c+t."""
+    a = _linear_part(params, dof, params.dtype)
+    c = jnp.asarray(centre, params.dtype)
+    b = c - a @ c + params[:3]
+    return a, b
 
 
 def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
@@ -97,13 +122,12 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
         return map_coordinates(grid, [pts[0], pts[1], pts[2]], order=1,
                                mode="nearest")
 
-    @jax.jit
-    def register_one(data_t, pred_t):
+    def estimate(data_t, pred_t):
         grid = to_grid(data_t.astype(dtype))
-        # offset-invariant cost (mcflirt's normalized-correlation family):
-        # both volumes are demeaned over the mask, so a global intensity
-        # mismatch (e.g. a temporal trend the model carries) cannot leak
-        # into spurious translation along the image gradient
+        # offset-invariant cost (mcflirt's normalized-correlation
+        # family): both volumes are demeaned over the mask, so a global
+        # intensity mismatch (e.g. a temporal trend the model carries)
+        # cannot leak into spurious translation along the image gradient
         pred_c = pred_t.astype(dtype)
         pred_c = pred_c - jnp.mean(pred_c)
 
@@ -118,35 +142,28 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
             h = jac.T @ jac + damping * eye
             return params - jnp.linalg.solve(h, g)
 
-        params = jax.lax.fori_loop(0, n_iters, gn_step,
-                                   jnp.zeros((dof,), dtype))
-        return sample(grid, params), params
+        return jax.lax.fori_loop(0, n_iters, gn_step,
+                                 jnp.zeros((dof,), dtype))
 
-    return register_one
-
-
-def make_applier(coords, shape, dof=6, dtype=jnp.float32):
-    """Jitted fn(data_t [V], params [dof]) -> resampled data_t [V]."""
-    coords = jnp.asarray(coords, dtype)
-    if coords.shape[0] != 3:
-        coords = coords.T
-    idx = tuple(np.asarray(coords, np.int64).round().astype(np.int64))
-    centre = jnp.asarray((np.asarray(shape, np.float64) - 1) / 2.0, dtype)
-
-    @jax.jit
-    def apply_one(data_t, params):
-        grid = jnp.zeros(tuple(shape), dtype).at[idx].set(
-            data_t.astype(dtype))
-        pts = _warp_coords(jnp.asarray(params, dtype), coords, centre, dof)
+    def apply_affine(data_t, a, b):
+        grid = to_grid(data_t.astype(dtype))
+        pts = a @ coords + b[:, None]
         return map_coordinates(grid, [pts[0], pts[1], pts[2]], order=1,
                                mode="nearest")
 
-    return apply_one
+    @jax.jit
+    def register_one(data_t, pred_t):
+        params = estimate(data_t, pred_t)
+        return sample(to_grid(data_t.astype(dtype)), params), params
+
+    register_one.estimate = estimate
+    register_one.apply_affine = apply_affine
+    register_one.centre = centre
+    return register_one
 
 
-# transforms smaller than this (voxels / radians) are treated as
-# identity: the volume passes through unresampled, so still timepoints
-# pay no interpolation-smoothing cost
+# adjusted transforms closer to identity than this (linear-part entries
+# and centre displacement, voxels) pass through unresampled
 IDENTITY_TOL = 1e-2
 
 
@@ -154,33 +171,47 @@ def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10):
     """Realign every timepoint of `data` to the model prediction.
 
     data, pred: [T,V] planes (voxels on lanes, the engine layout).
-    Returns (realigned [T,V] numpy, params [T,dof] numpy). Equivalent
-    of MCobj::run_mc (motioncorr.cc:70-94): per-timepoint transforms
-    estimated from the ORIGINAL data each call.
-
-    Gauge fixing: registering every volume to the model prediction
-    leaves a common-mode transform undetermined (the fit sits at the
-    motion-weighted centroid, so ALL volumes would be dragged to it
-    and resampled). The per-parameter MEDIAN transform is subtracted
-    from all timepoints, anchoring the output frame to the
-    majority-still position — the analogue of mcflirt's
-    reference-volume anchoring. Near-identity volumes then pass
-    through without resampling.
+    Returns (realigned [T,V] device array, translations [T,3] numpy —
+    the gauge-adjusted displacement of the volume centre per
+    timepoint). Equivalent of MCobj::run_mc (motioncorr.cc:70-94):
+    per-timepoint transforms estimated from the ORIGINAL data each
+    call, then composed with the exact inverse of the median-parameter
+    transform (gauge anchoring, see module docstring).
     """
     reg = make_registerer(coords, shape, dof=dof, n_iters=n_iters)
-    nt = data.shape[0]
-    params = np.empty((nt, dof), np.float64)
-    for t in range(nt):
-        _, p_t = reg(jnp.asarray(data[t]), jnp.asarray(pred[t]))
-        params[t] = np.asarray(p_t, np.float64)
-    params -= np.median(params, axis=0, keepdims=True)
+    data = jnp.asarray(data)
+    pred = jnp.asarray(pred)
 
-    apply_one = make_applier(coords, shape, dof=dof)
-    out = np.empty_like(np.asarray(data, np.float64))
-    for t in range(nt):
-        if np.abs(params[t]).max() < IDENTITY_TOL:
-            out[t] = np.asarray(data[t], np.float64)
-        else:
-            out[t] = np.asarray(apply_one(jnp.asarray(data[t]),
-                                          params[t]), np.float64)
-    return out, params
+    est_all = jax.jit(lambda d, p: jax.lax.map(
+        lambda dp: reg.estimate(dp[0], dp[1]), (d, p)))
+    params = np.asarray(est_all(data, pred), np.float64)    # [T,dof]
+
+    # exact gauge composition: S_adj = S_t o S_med^-1 in affine form
+    p_med = jnp.asarray(np.median(params, axis=0), jnp.float32)
+    a_med, b_med = params_to_affine(p_med, reg.centre, dof)
+    a_med_inv = np.linalg.inv(np.asarray(a_med, np.float64))
+    abs_ = []
+    for t in range(params.shape[0]):
+        a_t, b_t = params_to_affine(jnp.asarray(params[t], jnp.float32),
+                                    reg.centre, dof)
+        a_t = np.asarray(a_t, np.float64)
+        b_t = np.asarray(b_t, np.float64)
+        a_adj = a_t @ a_med_inv
+        b_adj = b_t - a_adj @ np.asarray(b_med, np.float64)
+        abs_.append((a_adj, b_adj))
+    a_all = np.stack([ab[0] for ab in abs_])                # [T,3,3]
+    b_all = np.stack([ab[1] for ab in abs_])                # [T,3]
+
+    centre = np.asarray(reg.centre, np.float64)
+    disp = (np.einsum("tij,j->ti", a_all, centre) + b_all
+            - centre)                                       # [T,3]
+    ident = (np.abs(a_all - np.eye(3)).max(axis=(1, 2)) < IDENTITY_TOL) \
+        & (np.abs(disp).max(axis=1) < IDENTITY_TOL)
+
+    apply_all = jax.jit(lambda d, a, b: jax.lax.map(
+        lambda dab: reg.apply_affine(dab[0], dab[1], dab[2]), (d, a, b)))
+    resampled = apply_all(data, jnp.asarray(a_all, jnp.float32),
+                          jnp.asarray(b_all, jnp.float32))
+    realigned = jnp.where(jnp.asarray(ident)[:, None], data,
+                          resampled.astype(data.dtype))
+    return realigned, disp

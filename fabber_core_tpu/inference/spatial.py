@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.neighbours import calc_neighbours
+from ..exceptions import InvalidOptionValue
 from ..models.base import (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
                            PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)
 from ..options import OptionSpec, OPT_INT, OPT_STR, OPT_BOOL, OPT_FLOAT
@@ -90,6 +91,12 @@ class SpatialVBInference(VBInference):
                          voxel_data_getter, dtype, data_plane=data_plane,
                          supp_plane=supp_plane)
         self.save_fhist = False  # per-iteration history is a voxelwise-mode feature
+        if self.num_mcsteps > 0:
+            # motion correction is wired for voxelwise VB only; reject
+            # explicitly rather than parse-and-ignore
+            raise InvalidOptionValue(
+                "mcsteps", str(self.num_mcsteps),
+                "Motion correction is implemented for method=vb only")
         self.spatial_dims = options.get_int("spatial-dims", 3, 0, 3)
         self.spatial_speed = options.get_float("spatial-speed", -1.0)
         self.update_first_iter = options.get_bool(
@@ -103,7 +110,6 @@ class SpatialVBInference(VBInference):
         # instead of silently ignoring the option.
         conv_name = options.get_string("convergence", "maxits")
         if conv_name != "maxits":
-            from ..exceptions import InvalidOptionValue
             raise InvalidOptionValue(
                 "convergence", conv_name,
                 "Spatial VB supports only the maxits detector (the "
@@ -115,7 +121,6 @@ class SpatialVBInference(VBInference):
         self.ak_nvoxels = self.nvoxels
         self.sweep_mode = options.get_string("spatial-sweep-mode", "jacobi")
         if self.sweep_mode not in ("jacobi", "gauss-seidel"):
-            from ..exceptions import InvalidOptionValue
             raise InvalidOptionValue("spatial-sweep-mode", self.sweep_mode,
                                      "Must be jacobi or gauss-seidel")
 

@@ -357,6 +357,15 @@ class VBInference:
                 and self.noise.nalphas == 2
                 and options.get_string("noise-initial-prior",
                                        "modeldefault") == "modeldefault"))
+        if loop_noise_ok:
+            # large parameter counts overflow the per-tile VMEM budget
+            # even at the smallest tile: take the XLA route instead
+            from ..ops.fused_loop import (pick_block, n_white_loop_planes,
+                                          n_ar_loop_planes)
+            planes = (n_white_loop_planes(self.nparams, self.noise.nphis)
+                      if noise_name == "white"
+                      else n_ar_loop_planes(self.nparams))
+            loop_noise_ok = pick_block(1024, planes) is not None
         loop_eligible = (
             self.use_stats
             and loop_noise_ok
@@ -753,16 +762,9 @@ class VBInference:
         def run_local(m0, rtqr, dtqr, consts, prior_means, prior_prec):
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
+            from ..ops.fused_loop import pick_block, n_white_loop_planes
             nv = m0.shape[-1]
-            # block = voxels per tile; must be a multiple of the
-            # kernel's sublane fold (ROWS=8 -> >=1024 keeps >=1 full
-            # lane tile per plane)
-            block = next((bb for bb in (16384, 8192, 4096, 2048, 1024)
-                          if nv % bb == 0), None)
-            pad = 0
-            if block is None:
-                block = 1024
-                pad = (-nv) % block
+            block, pad = pick_block(nv, n_white_loop_planes(p, nq))
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -843,13 +845,9 @@ class VBInference:
         p = self.nparams
 
         def run_local(m0, rmr, dmr, consts, prior_means, prior_prec):
+            from ..ops.fused_loop import pick_block, n_ar_loop_planes
             nv = m0.shape[-1]
-            block = next((bb for bb in (16384, 8192, 4096, 2048, 1024)
-                          if nv % bb == 0), None)
-            pad = 0
-            if block is None:
-                block = 1024
-                pad = (-nv) % block
+            block, pad = pick_block(nv, n_ar_loop_planes(p))
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -1084,16 +1082,30 @@ class VBInference:
         from the ORIGINAL data against the current model fit)."""
         from ..core.motion import register_timeseries
 
-        orig = np.asarray(self._fetch(self.data), np.float64)
+        from ..exceptions import InvalidOptionValue
+        if getattr(self, "mesh", None) is not None:
+            # the registration operates on whole volumes; re-feeding
+            # realigned data through a sharded/multi-process engine is
+            # not wired up — fail loudly rather than silently break
+            raise InvalidOptionValue(
+                "mcsteps", str(self.num_mcsteps),
+                "Motion correction is not supported with "
+                "--distributed/--shard-voxels")
+
+        # repeated run() calls must register from the TRUE original
+        # data, never from already-realigned (transforms would
+        # compound and still volumes would be resampled twice)
+        if not hasattr(self, "_mc_orig_data"):
+            self._mc_orig_data = self.data
+        orig = self._mc_orig_data
         coords = np.asarray(self._fetch(self.coords)).T        # [V,3]
         shape = tuple(int(c) + 1 for c in coords.max(axis=0))
         self.mc_translations = []  # per-step max |translation|, logged
         for step in range(self.num_mcsteps):
-            fit = np.asarray(self._fetch(self.evaluate_model(
-                np.asarray(result.means).T)))                  # [T,V]
-            realigned, params = register_timeseries(
+            fit = self.evaluate_model(np.asarray(result.means).T)  # [T,V]
+            realigned, disp = register_timeseries(
                 orig, fit, coords, shape, dof=self.mc_dof)
-            self.mc_translations.append(float(np.abs(params[:, :3]).max()))
+            self.mc_translations.append(float(np.abs(disp).max()))
             self.data = jnp.asarray(realigned, self.data.dtype)
             cn = self.noise.state_from_mvn(result.noise_means,
                                            result.noise_cov)
@@ -1109,8 +1121,16 @@ class VBInference:
             # the kernel always starts from the model-default init; a
             # programmatic initial posterior/noise must take the XLA
             # route (the option-string gate above only sees
-            # continue-from-mvn)
+            # continue-from-mvn). Restore after — a later run() without
+            # continuation (e.g. a fresh MC sequence) keeps the fast
+            # route.
+            saved_route = self.use_loop_kernel
             self.use_loop_kernel = False
+            try:
+                return self._run_vb(continue_means, continue_cov,
+                                    continue_noise)
+            finally:
+                self.use_loop_kernel = saved_route
         chunk = self._chunk_size()
         # single-dispatch path: initial state built on device inside
         # the compiled program (host round trips cost ~ms each on the

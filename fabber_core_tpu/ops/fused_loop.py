@@ -43,6 +43,82 @@ DEFAULT_BLOCK = 16384  # voxels per tile (state is tiny; big tiles win)
 # [i*ROWS, (i+1)*ROWS) of a [P*ROWS, V/ROWS] array.
 ROWS = 8
 
+# conservative per-tile VMEM budget (v5e has ~16MB; leave headroom for
+# Mosaic temporaries and the pipelined in/out double buffers, which the
+# x2 in pick_block accounts for)
+VMEM_BUDGET = 8 << 20
+
+
+def pick_block(nvoxels, n_planes):
+    """Choose the voxel tile size for a whole-loop kernel.
+
+    n_planes: count of live [block]-element f32 planes per tile
+    (inputs + outputs + loop carry). Returns (block, pad) — the
+    largest candidate whose estimated footprint (x2 for the pipelined
+    buffers) fits VMEM_BUDGET, preferring exact division of nvoxels —
+    or None if even the smallest tile doesn't fit (caller falls back
+    to the XLA route)."""
+    fitting = [bb for bb in (16384, 8192, 4096, 2048, 1024)
+               if n_planes * bb * 4 * 2 <= VMEM_BUDGET]
+    if not fitting:
+        return None
+    for bb in fitting:
+        if nvoxels % bb == 0:
+            return bb, 0
+    bb = fitting[-1]  # smallest fitting: least edge padding
+    return bb, (-nvoxels) % bb
+
+
+def n_white_loop_planes(p, nq):
+    """Live-plane estimate for make_fused_vb_loop (see pick_block)."""
+    ntri = p * (p + 1) // 2
+    ins = 3 * p + nq + nq * p
+    outs = p + 2 * p * p + 2 * nq
+    carry = 2 * nq + p + 2 * ntri
+    return ins + outs + carry
+
+
+def n_ar_loop_planes(p):
+    """Live-plane estimate for make_fused_ar_loop (see pick_block)."""
+    ntri = p * (p + 1) // 2
+    s = 3
+    ins = 3 * p + s + s * p
+    outs = p + 2 * p * p + 5
+    carry = 5 + p + 2 * ntri
+    return ins + outs + carry
+
+
+def make_voxel_layout(nvoxels, block):
+    """Shared kernel layout helpers for the ROWS fold: returns
+    (fold, unfold, vox_spec, fixed_spec, bcols, vcols)."""
+    bcols = block // ROWS
+    vcols = nvoxels // ROWS
+
+    def fold(x):
+        """[r, V] -> [r*ROWS, V/ROWS]: voxel axis split contiguously so
+        each plane's ROWS sublanes hold consecutive V/ROWS-strided
+        voxel groups (pure reshape, same for all planes)."""
+        r = x.shape[0]
+        return x.reshape(r, ROWS, vcols).reshape(r * ROWS, vcols)
+
+    def unfold(x):
+        r = x.shape[0] // ROWS
+        return x.reshape(r, ROWS, vcols).reshape(r, nvoxels)
+
+    def vox_spec(rows):
+        # NB np.int32 constants: under x64 a literal 0 would make the
+        # index map return mixed i64/i32, which Mosaic rejects
+        return pl.BlockSpec((rows * ROWS, bcols),
+                            lambda i: (np.int32(0), i),
+                            memory_space=pltpu.VMEM)
+
+    def fixed_spec(rows, cols):
+        return pl.BlockSpec((rows, cols),
+                            lambda i: (np.int32(0), np.int32(0)),
+                            memory_space=pltpu.VMEM)
+
+    return fold, unfold, vox_spec, fixed_spec, bcols, vcols
+
 
 def _tri(p):
     """(i, j<=i) pairs in row-major lower-triangular order."""
@@ -239,22 +315,9 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
         c_out[:] = bc[nq * ROWS:]
 
     grid = (nvoxels // block,)
-    bcols = block // ROWS
-
-    def vox_spec(rows):
-        # NB np.int32 constants: under x64 a literal 0 would make the
-        # index map return mixed i64/i32, which Mosaic rejects
-        return pl.BlockSpec((rows * ROWS, bcols),
-                            lambda i: (np.int32(0), i),
-                            memory_space=pltpu.VMEM)
-
-    def fixed_spec(rows, cols):
-        return pl.BlockSpec((rows, cols),
-                            lambda i: (np.int32(0), np.int32(0)),
-                            memory_space=pltpu.VMEM)
-
+    fold, unfold, vox_spec, fixed_spec, _, vcols = \
+        make_voxel_layout(nvoxels, block)
     nconsts = (nq * p * p + 4 * nq) * ROWS
-    vcols = nvoxels // ROWS
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -271,17 +334,6 @@ def make_fused_vb_loop(nparams, nq, n_iters, nvoxels, dtype,
         ),
         interpret=interpret,
     )
-
-    def fold(x):
-        """[r, V] -> [r*ROWS, V/ROWS]: voxel axis split contiguously so
-        each plane's ROWS sublanes hold consecutive V/ROWS-strided
-        voxel groups (pure reshape, same for all planes)."""
-        r = x.shape[0]
-        return x.reshape(r, ROWS, vcols).reshape(r * ROWS, vcols)
-
-    def unfold(x):
-        r = x.shape[0] // ROWS
-        return x.reshape(r, ROWS, vcols).reshape(r, nvoxels)
 
     def run(m0, rtqr, dtqr, consts, prior_means, prior_prec):
         means, prec_f, cov_f, b, c = call(

@@ -24,12 +24,11 @@ noise initial prior/posterior.
 """
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from .fused_loop import ROWS, DEFAULT_BLOCK, make_plane_algebra
+from .fused_loop import (ROWS, DEFAULT_BLOCK, make_plane_algebra,
+                         make_voxel_layout)
 
 NSPECS = 3  # (0,0), (1,0), (2,0) — single-echo, no cross terms
 
@@ -182,20 +181,9 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
         aprec_out[:] = plane(st, 4)
 
     grid = (nvoxels // block,)
-    bcols = block // ROWS
-
-    def vox_spec(rows):
-        return pl.BlockSpec((rows * ROWS, bcols),
-                            lambda i: (np.int32(0), i),
-                            memory_space=pltpu.VMEM)
-
-    def fixed_spec(rows, cols):
-        return pl.BlockSpec((rows, cols),
-                            lambda i: (np.int32(0), np.int32(0)),
-                            memory_space=pltpu.VMEM)
-
+    fold, unfold, vox_spec, fixed_spec, _, vcols = \
+        make_voxel_layout(nvoxels, block)
     nconsts = (s_n * p * p + 8) * ROWS
-    vcols = nvoxels // ROWS
     out_plane = jax.ShapeDtypeStruct((ROWS, vcols), dtype)
     call = pl.pallas_call(
         kernel,
@@ -213,14 +201,6 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
         ),
         interpret=interpret,
     )
-
-    def fold(x):
-        r = x.shape[0]
-        return x.reshape(r, ROWS, vcols).reshape(r * ROWS, vcols)
-
-    def unfold(x):
-        r = x.shape[0] // ROWS
-        return x.reshape(r, ROWS, vcols).reshape(r, nvoxels)
 
     def run(m0, rmr, dmr, consts, prior_means, prior_prec):
         means, prec_f, cov_f, amu0, acov00, aprec00, b, c = call(

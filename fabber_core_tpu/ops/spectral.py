@@ -77,10 +77,10 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
         dt = m0.dtype
         lam = jnp.asarray(lam_h, dt)[:, None]          # [P,1]
         ew = jnp.asarray(ew_h, dt)                     # [P,P]  W E
-        # E' W^-1 x = (W E)' ... no: E' W^-1 = (W^-1 E)' only if W
-        # symmetric diagonal — E' W^-1 = (W^-1 E)'. Build both maps.
+        # etw applies E'W ( = (WE)' since W is diagonal), etwi applies
+        # E'W^-1 ( = (W^-1 E)'); both built from the host f64 factors
         e_h = ew_h / winv_h[:, None]                   # E (host)
-        etw = jnp.asarray((winv_h[:, None] * e_h).T, dt)      # E' W
+        etw = jnp.asarray(ew_h.T, dt)                         # E' W
         etwi = jnp.asarray((e_h / winv_h[:, None]).T, dt)     # E' W^-1
         a = jnp.asarray(a_h, dt)
         pp = jnp.asarray(pp_h, dt)[:, None]            # [P,1]

@@ -139,7 +139,9 @@ def test_loop_kernel_programmatic_continue_forces_xla():
     eng = make_engine(nv, "pallas-loop", {"max-iterations": "1"})
     assert eng.use_loop_kernel
     rp = eng.run(continue_means=cm, continue_cov=base.cov)
-    assert not eng.use_loop_kernel  # demoted at run()
+    # the continuation itself took the XLA route, but the fast route is
+    # restored for later fresh runs on the same engine
+    assert eng.use_loop_kernel
     np.testing.assert_allclose(rx.means, rp.means, rtol=1e-6, atol=1e-7)
 
 

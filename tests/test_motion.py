@@ -125,3 +125,57 @@ def test_registerer_dof_modes(dof):
     err0 = np.abs(moved - target).max()
     err1 = np.abs(np.asarray(realigned) - target).max()
     assert err1 < 0.35 * err0  # trilinear resampling floor
+
+
+def test_mc_rejected_under_sharding():
+    """MC operates on whole volumes; sharded engines must fail loudly
+    rather than silently re-feed host-built data (review finding)."""
+    from fabber_core_tpu.parallel.mesh import shard_engine
+    from fabber_core_tpu.exceptions import InvalidOptionValue
+    coords = _full_coords((8, 8, 4))
+    data = np.ones((coords.shape[0], 8)) + 0.01 * np.random.default_rng(
+        0).standard_normal((coords.shape[0], 8))
+    opts = RunOptions({"model": "poly", "degree": "0", "noise": "white",
+                       "max-iterations": "3", "mcsteps": "1"})
+    eng = VBInference(get_model_class("poly")(opts), opts, data, coords)
+    shard_engine(eng)
+    with pytest.raises(InvalidOptionValue):
+        eng.run()
+
+
+def test_mc_rejected_for_spatial():
+    from fabber_core_tpu.inference.spatial import SpatialVBInference
+    from fabber_core_tpu.exceptions import InvalidOptionValue
+    coords = _full_coords((8, 8, 4))
+    data = np.ones((coords.shape[0], 8))
+    opts = RunOptions({"model": "poly", "degree": "0", "noise": "white",
+                       "method": "spatialvb", "param-spatial-priors": "M",
+                       "mcsteps": "1"})
+    with pytest.raises(InvalidOptionValue):
+        SpatialVBInference(get_model_class("poly")(opts), opts, data,
+                           coords)
+
+
+def test_mc_repeat_run_does_not_compound():
+    """A second run() must register from the TRUE original data
+    (transforms must not compound; review finding)."""
+    rng = np.random.default_rng(11)
+    coords = _full_coords(SHAPE)
+    nv, nt = coords.shape[0], 12
+    centre = np.array([7.5, 7.5, 3.5])
+    shifts = np.zeros((nt, 3)); shifts[9:, 0] = 1.0
+    data = np.empty((nv, nt))
+    for k in range(nt):
+        data[:, k] = 1.0 + _blob(coords, centre + shifts[k], sigma=4.0)
+    data += 0.02 * rng.standard_normal(data.shape)
+    opts = RunOptions({"model": "poly", "degree": "0", "noise": "white",
+                       "max-iterations": "5", "mcsteps": "1"})
+    eng = VBInference(get_model_class("poly")(opts), opts, data, coords)
+    r1 = eng.run()
+    t1 = list(eng.mc_translations)
+    r2 = eng.run()
+    t2 = list(eng.mc_translations)
+    # same registration problem both times (orig data, converged fit):
+    # estimated shifts agree and results stay put instead of drifting
+    assert abs(t1[0] - t2[0]) < 0.2, (t1, t2)
+    assert np.abs(r1.means - r2.means).max() < 0.05

@@ -39,6 +39,8 @@ the fit improves), not a general-purpose replacement for a
 multi-resolution registration tool.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -95,35 +97,30 @@ def params_to_affine(params, centre, dof):
     return a, b
 
 
-def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
-                    dtype=jnp.float32):
-    """Build a jitted per-timepoint registerer.
+@functools.lru_cache(maxsize=8)
+def _compiled_fns(shape, dof, n_iters, damping, dtype_name):
+    """Jitted registration callables for one static configuration.
 
-    coords: [V,3] (or [3,V]) integer voxel coordinates of the masked
-    voxels; shape: (nx,ny,nz) grid extent.
-
-    Returns fn(data_t [V], pred_t [V]) -> (realigned_t [V], params
-    [dof]): estimates the transform minimising masked SSD between the
-    resampled data volume and the prediction, and returns the data
-    resampled through it.
+    The volume-sized bindings — coords [3,V], scatter index tuple
+    (3×[V]) and the grid centre — are THREADED THROUGH as arguments
+    rather than closure-captured, so they travel as device buffers
+    instead of being baked into the HLO as constants (the remote-TPU
+    413-compile-failure trap), and the compiled executables are reused
+    across MC steps and run() calls (jit caches on shapes).
     """
-    coords = jnp.asarray(coords, dtype)
-    if coords.shape[0] != 3:
-        coords = coords.T  # -> [3,V]
-    idx = tuple(np.asarray(coords, np.int64).round().astype(np.int64))
-    centre = jnp.asarray((np.asarray(shape, np.float64) - 1) / 2.0, dtype)
+    dtype = jnp.dtype(dtype_name)
     eye = jnp.eye(dof, dtype=dtype)
 
-    def to_grid(vals):
-        return jnp.zeros(tuple(shape), dtype).at[idx].set(vals)
+    def to_grid(vals, idx):
+        return jnp.zeros(shape, dtype).at[idx].set(vals)
 
-    def sample(grid, params):
+    def sample(grid, params, coords, centre):
         pts = _warp_coords(params, coords, centre, dof)
         return map_coordinates(grid, [pts[0], pts[1], pts[2]], order=1,
                                mode="nearest")
 
-    def estimate(data_t, pred_t):
-        grid = to_grid(data_t.astype(dtype))
+    def estimate(data_t, pred_t, coords, idx, centre):
+        grid = to_grid(data_t.astype(dtype), idx)
         # offset-invariant cost (mcflirt's normalized-correlation
         # family): both volumes are demeaned over the mask, so a global
         # intensity mismatch (e.g. a temporal trend the model carries)
@@ -132,7 +129,7 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
         pred_c = pred_c - jnp.mean(pred_c)
 
         def sample_c(params):
-            s = sample(grid, params)
+            s = sample(grid, params, coords, centre)
             return s - jnp.mean(s)
 
         def gn_step(_, params):
@@ -145,21 +142,71 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
         return jax.lax.fori_loop(0, n_iters, gn_step,
                                  jnp.zeros((dof,), dtype))
 
-    def apply_affine(data_t, a, b):
-        grid = to_grid(data_t.astype(dtype))
+    def apply_affine(data_t, a, b, coords, idx):
+        grid = to_grid(data_t.astype(dtype), idx)
         pts = a @ coords + b[:, None]
         return map_coordinates(grid, [pts[0], pts[1], pts[2]], order=1,
                                mode="nearest")
 
     @jax.jit
-    def register_one(data_t, pred_t):
-        params = estimate(data_t, pred_t)
-        return sample(to_grid(data_t.astype(dtype)), params), params
+    def register_one(data_t, pred_t, coords, idx, centre):
+        params = estimate(data_t, pred_t, coords, idx, centre)
+        grid = to_grid(data_t.astype(dtype), idx)
+        return sample(grid, params, coords, centre), params
 
-    register_one.estimate = estimate
-    register_one.apply_affine = apply_affine
-    register_one.centre = centre
-    return register_one
+    estimate_all = jax.jit(lambda d, p, coords, idx, centre: jax.lax.map(
+        lambda dp: estimate(dp[0], dp[1], coords, idx, centre), (d, p)))
+    apply_all = jax.jit(lambda d, a, b, coords, idx: jax.lax.map(
+        lambda dab: apply_affine(dab[0], dab[1], dab[2], coords, idx),
+        (d, a, b)))
+    return register_one, estimate_all, apply_all
+
+
+class _Registerer:
+    """Bound registerer: static config compiled once (shared via
+    _compiled_fns), voxel-sized bindings held as device arrays."""
+
+    def __init__(self, coords, shape, dof, n_iters, damping, dtype):
+        dtype = jnp.dtype(dtype)
+        coords = jnp.asarray(coords, dtype)
+        if coords.shape[0] != 3:
+            coords = coords.T  # -> [3,V]
+        self.coords = coords
+        self.idx = tuple(jnp.asarray(
+            np.asarray(coords, np.float64).round(), jnp.int32))
+        self.centre = jnp.asarray(
+            (np.asarray(shape, np.float64) - 1) / 2.0, dtype)
+        self.dof = dof
+        self._one, self._est_all, self._apply_all = _compiled_fns(
+            tuple(int(s) for s in shape), int(dof), int(n_iters),
+            float(damping), dtype.name)
+
+    def __call__(self, data_t, pred_t):
+        return self._one(data_t, pred_t, self.coords, self.idx,
+                         self.centre)
+
+    def estimate_all(self, data, pred):
+        return self._est_all(data, pred, self.coords, self.idx,
+                             self.centre)
+
+    def apply_all(self, data, a, b):
+        return self._apply_all(data, a, b, self.coords, self.idx)
+
+
+def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
+                    dtype=jnp.float32):
+    """Build a per-timepoint registerer.
+
+    coords: [V,3] (or [3,V]) integer voxel coordinates of the masked
+    voxels; shape: (nx,ny,nz) grid extent.
+
+    Returns reg with reg(data_t [V], pred_t [V]) -> (realigned_t [V],
+    params [dof]): estimates the transform minimising masked SSD
+    between the resampled data volume and the prediction, and returns
+    the data resampled through it. Batched variants reg.estimate_all /
+    reg.apply_all map over the leading timepoint axis in one dispatch.
+    """
+    return _Registerer(coords, shape, dof, n_iters, damping, dtype)
 
 
 # adjusted transforms closer to identity than this (linear-part entries
@@ -167,7 +214,8 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
 IDENTITY_TOL = 1e-2
 
 
-def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10):
+def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10,
+                        reg=None):
     """Realign every timepoint of `data` to the model prediction.
 
     data, pred: [T,V] planes (voxels on lanes, the engine layout).
@@ -177,14 +225,16 @@ def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10):
     per-timepoint transforms estimated from the ORIGINAL data each
     call, then composed with the exact inverse of the median-parameter
     transform (gauge anchoring, see module docstring).
+
+    Pass `reg` (a make_registerer result) to reuse one set of device
+    bindings across MC steps instead of re-uploading coords each call.
     """
-    reg = make_registerer(coords, shape, dof=dof, n_iters=n_iters)
+    if reg is None:
+        reg = make_registerer(coords, shape, dof=dof, n_iters=n_iters)
     data = jnp.asarray(data)
     pred = jnp.asarray(pred)
 
-    est_all = jax.jit(lambda d, p: jax.lax.map(
-        lambda dp: reg.estimate(dp[0], dp[1]), (d, p)))
-    params = np.asarray(est_all(data, pred), np.float64)    # [T,dof]
+    params = np.asarray(reg.estimate_all(data, pred), np.float64)  # [T,dof]
 
     # exact gauge composition: S_adj = S_t o S_med^-1 in affine form
     p_med = jnp.asarray(np.median(params, axis=0), jnp.float32)
@@ -208,10 +258,8 @@ def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10):
     ident = (np.abs(a_all - np.eye(3)).max(axis=(1, 2)) < IDENTITY_TOL) \
         & (np.abs(disp).max(axis=1) < IDENTITY_TOL)
 
-    apply_all = jax.jit(lambda d, a, b: jax.lax.map(
-        lambda dab: reg.apply_affine(dab[0], dab[1], dab[2]), (d, a, b)))
-    resampled = apply_all(data, jnp.asarray(a_all, jnp.float32),
-                          jnp.asarray(b_all, jnp.float32))
+    resampled = reg.apply_all(data, jnp.asarray(a_all, jnp.float32),
+                              jnp.asarray(b_all, jnp.float32))
     realigned = jnp.where(jnp.asarray(ident)[:, None], data,
                           resampled.astype(data.dtype))
     return realigned, disp

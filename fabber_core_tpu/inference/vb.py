@@ -301,6 +301,11 @@ class VBInference:
         # at inference_vb.cc:116 but its run_mc hook needs FSL mcflirt)
         self.num_mcsteps = options.get_int("mcsteps", 0)
         self.mc_dof = options.get_int("mc-dof", 6)
+        if self.mc_dof not in (6, 12):
+            from ..exceptions import InvalidOptionValue
+            raise InvalidOptionValue(
+                "mc-dof", str(self.mc_dof),
+                "Motion-correction dof must be 6 (rigid) or 12 (affine)")
 
         # Fused Pallas iteration: white noise / time-local model / no
         # locked-linear / f32 compute (Mosaic has no f64). Noise
@@ -1080,7 +1085,7 @@ class VBInference:
         """Interleave motion correction with VB continuation passes
         (MCobj::run_mc semantics: per-timepoint transforms estimated
         from the ORIGINAL data against the current model fit)."""
-        from ..core.motion import register_timeseries
+        from ..core.motion import make_registerer, register_timeseries
 
         from ..exceptions import InvalidOptionValue
         if getattr(self, "mesh", None) is not None:
@@ -1100,11 +1105,18 @@ class VBInference:
         orig = self._mc_orig_data
         coords = np.asarray(self._fetch(self.coords)).T        # [V,3]
         shape = tuple(int(c) + 1 for c in coords.max(axis=0))
+        # one registerer for all steps: device bindings uploaded once,
+        # compiled executables shared (advisor finding: closure-captured
+        # coords became HLO constants and recompiled per step)
+        if getattr(self, "_mc_registerer", None) is None:
+            self._mc_registerer = make_registerer(coords, shape,
+                                                  dof=self.mc_dof)
         self.mc_translations = []  # per-step max |translation|, logged
         for step in range(self.num_mcsteps):
             fit = self.evaluate_model(np.asarray(result.means).T)  # [T,V]
             realigned, disp = register_timeseries(
-                orig, fit, coords, shape, dof=self.mc_dof)
+                orig, fit, coords, shape, dof=self.mc_dof,
+                reg=self._mc_registerer)
             self.mc_translations.append(float(np.abs(disp).max()))
             self.data = jnp.asarray(realigned, self.data.dtype)
             cn = self.noise.state_from_mvn(result.noise_means,

@@ -75,7 +75,10 @@ def n_white_loop_planes(p, nq):
     ins = 3 * p + nq + nq * p
     outs = p + 2 * p * p + 2 * nq
     carry = 2 * nq + p + 2 * ntri
-    return ins + outs + carry
+    # dtqy (nq*p planes) is derived in-kernel from dtqr and stays live
+    # across the whole fori_loop alongside it (advisor finding)
+    derived = nq * p
+    return ins + outs + carry + derived
 
 
 def n_ar_loop_planes(p):
@@ -85,7 +88,9 @@ def n_ar_loop_planes(p):
     ins = 3 * p + s + s * p
     outs = p + 2 * p * p + 5
     carry = 5 + p + 2 * ntri
-    return ins + outs + carry
+    # dmy (s*p planes) lives across the loop next to dmr (see above)
+    derived = s * p
+    return ins + outs + carry + derived
 
 
 def make_voxel_layout(nvoxels, block):

@@ -61,16 +61,22 @@ def parse_args(argv):
             if i >= len(argv):
                 raise FabberError("-f requires a filename argument")
             options.parse_option_file(argv[i])
+        elif arg == "-@":
+            # deprecated legacy form, kept for compatibility
+            # (rundata.cc:410-414)
+            i += 1
+            if i >= len(argv):
+                raise FabberError("-@ requires a filename argument")
+            options.parse_old_style_option_file(argv[i])
         elif arg.startswith("--"):
             options.parse_cli([arg])
-        elif arg.startswith("-@"):
-            raise FabberError("Old-style option files (-@) are not "
-                              "supported; use -f file or --optfile=file")
         else:
             raise FabberError(f"Option '{arg}' doesn't begin with --")
         i += 1
     if options.have("optfile"):
-        options.parse_option_file(options.get_string("optfile"))
+        # POSIX-compliant replacement for -@: same legacy file format
+        # (rundata.cc:420-424)
+        options.parse_old_style_option_file(options.get_string("optfile"))
     return options
 
 

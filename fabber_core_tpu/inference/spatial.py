@@ -561,13 +561,27 @@ class SpatialVBInference(VBInference):
     # -- driver -----------------------------------------------------------
     def compiled_sweeps(self):
         """The full jitted spatial computation: state -> final state."""
+        report = getattr(self, "progress_cb", None)
+        nvox, max_its = self.nvoxels, self.max_its
+
+        def report_sweep(i):
+            # per-sweep progress in completed-voxel units (ProgressCheck
+            # parity, rundata.h:102-169); only traced in when a callback
+            # is registered, so the bench path pays nothing
+            report(int(i) * nvox // max_its, nvox)
+
         @jax.jit
         def loop(s, bind):
             stats = self.noise.make_design_stats(bind.design, bind.data) \
                 if self.use_stats else None
-            return jax.lax.fori_loop(
-                0, self.max_its,
-                lambda i, st: self._sweep(i, st, bind, stats), s)
+
+            def body(i, st):
+                st = self._sweep(i, st, bind, stats)
+                if report is not None:
+                    jax.debug.callback(report_sweep, i + 1)
+                return st
+
+            return jax.lax.fori_loop(0, max_its, body, s)
         return loop
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):

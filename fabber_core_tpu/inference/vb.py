@@ -1184,6 +1184,12 @@ class VBInference:
                         and x.shape[0] == chunk else x), res)
             results.append(res)
             lo = hi
+            # per-chunk progress (ProgressCheck parity: the reference
+            # reports per voxel, rundata.h:102-169; a chunk is our unit
+            # of completed voxels)
+            cb = getattr(self, "progress_cb", None)
+            if cb is not None:
+                cb(min(lo, self.nvoxels), self.nvoxels)
         return _concat_results(results)
 
     def _finalize(self, s, bind, stats=None):

@@ -14,7 +14,8 @@ redesigned as a plain-Python registry:
 
 from dataclasses import dataclass
 
-from .exceptions import InvalidOptionValue, MandatoryOptionMissing
+from .exceptions import (FabberError, InvalidOptionValue,
+                         MandatoryOptionMissing)
 
 # Option value types, used only for introspection / help output
 OPT_BOOL = "BOOL"
@@ -84,7 +85,9 @@ GLOBAL_OPTIONS = [
     OptionSpec("save-noise-mean", OPT_BOOL, "Output noise precision means"),
     OptionSpec("save-noise-std", OPT_BOOL, "Output noise standard deviations"),
     OptionSpec("save-free-energy", OPT_BOOL, "Output free energy"),
-    OptionSpec("optfile", OPT_FILE, "File of additional options"),
+    OptionSpec("optfile", OPT_FILE,
+               "File of additional options (legacy whitespace-separated "
+               "'--key=value' format, like -@)"),
     OptionSpec("debug", OPT_BOOL, "Verbose numerical debug output"),
     OptionSpec("dtype", OPT_STR,
                "Precision: double|single|bf16 (bf16 = bfloat16 data "
@@ -157,13 +160,43 @@ class RunOptions:
         return self
 
     def parse_option_file(self, filename):
-        """key=value per line; '#' comments (rundata.cc:324-346)."""
+        """key=value per line; '#' comments, including trailing ones
+        after the value (rundata.cc:324-346, trim_comments=true)."""
         with open(filename) as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
+                if "=" in line:
+                    # the reference trims the value at the first '#'
+                    line = line.split("#", 1)[0].rstrip()
                 self._add_key_equals_value(line)
+        return self
+
+    def parse_old_style_option_file(self, filename):
+        """Legacy -@/--optfile format (rundata.cc:348-387):
+        whitespace-separated '--key[=value]' tokens, '#' discards the
+        rest of its line, bare words are an error, nested -@ rejected.
+        """
+        try:
+            with open(filename) as f:
+                text = f.read()
+        except OSError:
+            raise FabberError(
+                f"Couldn't read input file: -@ {filename}")
+        for line in text.splitlines():
+            for tok in line.split():
+                if tok.startswith("#"):
+                    break  # comment: discard the rest of the line
+                if tok.startswith("--"):
+                    self._add_key_equals_value(tok[2:])
+                elif tok.startswith("-@"):
+                    raise FabberError(
+                        "Can only use -@ on the command line")
+                else:
+                    raise FabberError(
+                        f"Invalid data '{tok}' found in file "
+                        f"'{filename}'")
         return self
 
     def _add_key_equals_value(self, kv):

@@ -30,12 +30,18 @@ def _vox_sharding(mesh, ndim):
     return NamedSharding(mesh, P(*([None] * (ndim - 1) + ["vox"])))
 
 
-def shard_engine(engine, devices=None):
+def shard_engine(engine, devices=None, log=None):
     """Shard an inference engine's per-run arrays over a voxel mesh.
 
     The voxel count must divide the device count; chunked execution is
     disabled (each device already holds only its shard). Returns the
     mesh.
+
+    Non-divisible voxel counts fall back to the largest dividing device
+    subset (pad-free policy) — with a loud warning, since that can mean
+    running on 1 device. For full utilisation at any voxel count use
+    the padded path (parallel.distributed.build_engine_sharded), which
+    the CLI --shard-voxels route takes automatically.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
@@ -44,6 +50,15 @@ def shard_engine(engine, devices=None):
         # handles uneven shards too but keeps layouts simpler this way
         usable = max(d for d in range(1, n + 1) if engine.nvoxels % d == 0)
         devices = devices[:usable]
+        msg = (f"shard_engine: {engine.nvoxels} voxels do not divide "
+               f"{n} devices; using {usable} device(s). Pad the voxel "
+               "count or use parallel.distributed.build_engine_sharded "
+               "for full utilisation.")
+        if log is not None:
+            log.warn(msg)
+        else:
+            import warnings
+            warnings.warn(msg, stacklevel=2)
     mesh = voxel_mesh(devices)
 
     def put(x):

@@ -82,7 +82,8 @@ def run(options, store, log=None, progress_cb=None):
 
     result, engine = _dispatch(method, model, options, data, coords,
                                suppdata, store, params,
-                               cont_means, cont_cov, log)
+                               cont_means, cont_cov, log,
+                               progress_cb=progress_cb)
     if progress_cb:
         progress_cb(nvoxels, nvoxels)
 
@@ -123,14 +124,28 @@ def run(options, store, log=None, progress_cb=None):
 
 
 def _dispatch(method, model, options, data, coords, suppdata, store,
-              params, cont_means, cont_cov, log):
+              params, cont_means, cont_cov, log, progress_cb=None):
     getter = store.get
     shard = options.get_bool("shard-voxels")
     distributed = options.get_bool("distributed")
     if distributed and not options.get_bool("output-only"):
         return _dispatch_distributed(method, model, options, data, coords,
                                      suppdata, getter, params,
-                                     cont_means, cont_cov, log)
+                                     cont_means, cont_cov, log,
+                                     progress_cb=progress_cb)
+    if shard and not options.get_bool("output-only"):
+        import jax
+        if data.shape[0] % len(jax.devices()) != 0:
+            # non-divisible voxel count: take the padded sharding path
+            # (single-process capable) instead of silently dropping
+            # devices (review finding, parallel/mesh.py fallback)
+            log.log(f"shard-voxels: {data.shape[0]} voxels do not "
+                    f"divide {len(jax.devices())} devices; padding "
+                    "the voxel axis")
+            return _dispatch_distributed(
+                method, model, options, data, coords, suppdata, getter,
+                params, cont_means, cont_cov, log,
+                progress_cb=progress_cb)
     if method in ("vb", "spatialvb"):
         if is_spatial(options, params):
             from .inference.spatial import SpatialVBInference
@@ -143,9 +158,13 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
         else:
             engine = VBInference(model, options, data, coords, suppdata,
                                  voxel_data_getter=getter)
+        # per-chunk (voxelwise) / per-sweep (spatial) progress reporting
+        # through the same channel the C API trampoline uses
+        # (ProgressCheck parity, rundata.h:102-169)
+        engine.progress_cb = progress_cb
         if shard:
             from .parallel import shard_engine
-            mesh = shard_engine(engine)
+            mesh = shard_engine(engine, log=log)
             log.log(f"Sharding {engine.nvoxels} voxels over mesh "
                     f"{dict(mesh.shape)}")
         if options.get_bool("output-only"):
@@ -175,7 +194,7 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
                                voxel_data_getter=getter)
         if shard:
             from .parallel import shard_engine
-            shard_engine(engine)
+            shard_engine(engine, log=log)
         result = engine.run()
     else:
         raise FabberError(f"Unrecognized inference method: {method}")
@@ -183,7 +202,8 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
 
 
 def _dispatch_distributed(method, model, options, data, coords, suppdata,
-                          getter, params, cont_means, cont_cov, log):
+                          getter, params, cont_means, cont_cov, log,
+                          progress_cb=None):
     """Production multi-chip/multi-host path: voxel planes sharded over
     the global device mesh with process-local feeding
     (parallel/distributed.py). The green-field component the reference
@@ -206,6 +226,7 @@ def _dispatch_distributed(method, model, options, data, coords, suppdata,
     engine, v_real = dist.build_engine_sharded(
         cls, model, options, data, coords, suppdata,
         voxel_data_getter=getter, mesh=mesh, log=log)
+    engine.progress_cb = progress_cb
 
     if method == "nlls":
         result = engine.run()

@@ -171,3 +171,94 @@ def test_unknown_model_reported(phantom_files, capsys):
                       "--model=doesnotexist", "--method=vb", "--noise=white"])
     assert rc == 1
     assert "doesnotexist" in capsys.readouterr().err
+
+def test_option_file_old_style(phantom_files, tmp_path):
+    """Legacy -@/--optfile format (rundata.cc:348-387; the reference's
+    OptFileOldStyle / OptFileOldStyleOldName CLI cases)."""
+    data_f, mask_f, tmp = phantom_files
+    outdir = str(tmp / "out_old")
+    optfile = tmp_path / "optfile.tmp"
+    optfile.write_text(
+        f"--model=poly --degree=1\n"
+        f"--method=vb --noise=white  # trailing comment discarded\n"
+        f"--max-iterations=3\n"
+        f"--output={outdir} --overwrite\n")
+    # --optfile= form
+    assert cli.execute([f"--optfile={optfile}", f"--data={data_f}",
+                        f"--mask={mask_f}"]) == 0
+    assert os.path.exists(os.path.join(outdir, "mean_c1.nii.gz"))
+    # deprecated '-@ file' form
+    assert cli.execute(["-@", str(optfile), f"--data={data_f}",
+                        f"--mask={mask_f}"]) == 0
+
+
+def test_option_file_old_style_errors(tmp_path, capsys):
+    from fabber_core_tpu.options import RunOptions
+    from fabber_core_tpu.exceptions import FabberError
+    bad = tmp_path / "bad.tmp"
+    bad.write_text("--model=poly\nplainword\n")
+    with pytest.raises(FabberError, match="Invalid data 'plainword'"):
+        RunOptions().parse_old_style_option_file(str(bad))
+    nested = tmp_path / "nested.tmp"
+    nested.write_text("-@ other.tmp\n")
+    with pytest.raises(FabberError, match="command line"):
+        RunOptions().parse_old_style_option_file(str(nested))
+    with pytest.raises(FabberError, match="Couldn't read"):
+        RunOptions().parse_old_style_option_file(str(tmp_path / "nope"))
+    # comments discard the rest of the line only
+    ok = tmp_path / "ok.tmp"
+    ok.write_text("--model=poly # --degree=9 ignored\n--degree=2\n")
+    o = RunOptions().parse_old_style_option_file(str(ok))
+    assert o.get_string("model") == "poly"
+    assert o.get_int("degree") == 2
+
+
+def test_progress_callback_per_chunk(phantom_files):
+    """>2 progress invocations when the run chunks (ProgressCheck
+    parity, rundata.h:102-169)."""
+    import fabber_core_tpu.runner as runner_mod
+    from fabber_core_tpu.options import RunOptions
+    from fabber_core_tpu.cli import NiftiVoxelDataStore
+    from fabber_core_tpu.core.volume import VolumeGeometry
+    from fabber_core_tpu.easylog import EasyLog
+    data_f, mask_f, tmp = phantom_files
+    mask_img = nifti.load(mask_f)
+    geom = VolumeGeometry(mask_img.shape[:3], mask_img.data)
+    opts = RunOptions({"data": data_f, "model": "poly", "degree": "1",
+                       "method": "vb", "noise": "white",
+                       "max-iterations": "3", "voxel-chunk-size": "8",
+                       "save-mean": ""})
+    log = EasyLog()
+    store = NiftiVoxelDataStore(geom, opts, log)
+    calls = []
+    runner_mod.run(opts, store, log=log,
+                   progress_cb=lambda v, t: calls.append((v, t)))
+    # 23 voxels / chunk 8 -> 3 chunks, plus the 0% and 100% bookends
+    assert len(calls) >= 4, calls
+    assert calls[0] == (0, 23) and calls[-1] == (23, 23)
+    done = [v for v, _ in calls]
+    assert done == sorted(done)
+    assert any(0 < v < 23 for v in done)
+
+
+def test_progress_callback_per_sweep(phantom_files):
+    """Spatial mode reports per-sweep progress from inside the jitted
+    loop (jax.debug.callback)."""
+    import fabber_core_tpu.runner as runner_mod
+    from fabber_core_tpu.options import RunOptions
+    from fabber_core_tpu.cli import NiftiVoxelDataStore
+    from fabber_core_tpu.core.volume import VolumeGeometry
+    from fabber_core_tpu.easylog import EasyLog
+    data_f, mask_f, tmp = phantom_files
+    mask_img = nifti.load(mask_f)
+    geom = VolumeGeometry(mask_img.shape[:3], mask_img.data)
+    opts = RunOptions({"data": data_f, "model": "poly", "degree": "1",
+                       "method": "spatialvb", "param-spatial-priors": "MM",
+                       "noise": "white", "max-iterations": "4",
+                       "save-mean": ""})
+    log = EasyLog()
+    store = NiftiVoxelDataStore(geom, opts, log)
+    calls = []
+    runner_mod.run(opts, store, log=log,
+                   progress_cb=lambda v, t: calls.append((v, t)))
+    assert len(calls) >= 4, calls   # 0% + >=2 sweeps observed + 100%

@@ -218,3 +218,60 @@ def test_fused_kernels_shard_map(mode, model_opts):
     np.testing.assert_allclose(rx.noise_means, rp.noise_means, rtol=5e-4)
     np.testing.assert_allclose(rx.free_energy, rp.free_energy,
                                rtol=1e-4, atol=5e-3)
+
+
+def test_shard_voxels_nondivisible_pads(tmp_path):
+    """--shard-voxels with a voxel count that does not divide the
+    device count takes the padded path (full device utilisation)
+    instead of silently dropping devices, and results match the
+    unsharded run (review finding)."""
+    from fabber_core_tpu.options import RunOptions
+    from fabber_core_tpu.runner import run as run_full
+    from fabber_core_tpu.core.volume import VoxelDataStore
+
+    rng = np.random.default_rng(5)
+    n = dist.global_voxel_mesh().devices.size
+    nv, nt = n * 3 + 1, 10   # prime-ish: does not divide n
+    t = np.arange(1, nt + 1)
+    c0, c1 = rng.uniform(-1, 1, nv), rng.uniform(-0.5, 0.5, nv)
+    data = c0[:, None] + c1[:, None] * t[None] + rng.normal(0, .05, (nv, nt))
+    geom = VolumeGeometry((nv, 1, 1))
+    vol = data.reshape(nv, 1, 1, nt)
+
+    def one(shard):
+        o = {"model": "poly", "degree": "1", "method": "vb",
+             "noise": "white", "max-iterations": "5", "save-mean": ""}
+        if shard:
+            o["shard-voxels"] = ""
+        opts = RunOptions(o)
+        store = VoxelDataStore(geom)
+        store.set("data", vol)
+        return run_full(opts, store)
+
+    plain = one(False)
+    sharded = one(True)
+    assert sharded.outputs["mean_c0"].shape[0] == nv
+    np.testing.assert_allclose(sharded.outputs["mean_c0"],
+                               plain.outputs["mean_c0"], rtol=1e-6)
+    np.testing.assert_allclose(sharded.outputs["mean_c1"],
+                               plain.outputs["mean_c1"], rtol=1e-6)
+
+
+def test_shard_engine_warns_on_device_drop():
+    from fabber_core_tpu.options import RunOptions
+    from fabber_core_tpu.models import get_model_class
+    from fabber_core_tpu.inference.vb import VBInference
+    from fabber_core_tpu.parallel.mesh import shard_engine
+    import warnings
+
+    nv = dist.global_voxel_mesh().devices.size * 2 + 1  # odd
+    data = np.ones((nv, 6)) + 0.01 * np.random.default_rng(
+        0).standard_normal((nv, 6))
+    coords = np.stack([np.arange(nv), np.zeros(nv), np.zeros(nv)], 1)
+    opts = RunOptions({"model": "poly", "degree": "0", "noise": "white"})
+    eng = VBInference(get_model_class("poly")(opts), opts, data, coords)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mesh = shard_engine(eng)
+    assert any("do not divide" in str(w.message) for w in rec)
+    assert mesh.devices.size == 1  # documented pad-free fallback

@@ -331,6 +331,9 @@ class VBInference:
             self.fused_interpret = False
         else:
             self.use_fused = False
+        # stash for the whole-loop nonlinear gate below (prior_setup /
+        # detector are not constructed yet at this point)
+        self._ts_eligible = eligible
 
         # Sufficient-statistics route: one [T,V] pass at loop entry,
         # then the fixed point runs on [P,V] planes only (after the
@@ -416,6 +419,38 @@ class VBInference:
         if self.use_spectral:
             self.use_loop_kernel = True  # shared run()/dispatch gates
 
+        # Whole-loop nonlinear kernel (ops/fused_loop_nl.py): for
+        # time-signal models the ENTIRE maxits fixed point runs on
+        # VMEM-resident state — one data read, one posterior write —
+        # instead of one per-iteration kernel dispatch with the
+        # posterior round-tripping HBM each time. Same static-trip /
+        # iteration-invariant-prior gates as the fixed-design loop
+        # kernel above.
+        nl_eligible = self._ts_eligible and self.design is None
+        if nl_eligible:
+            from ..ops.fused_loop_nl import pick_nl_block
+            from ..ops.fused_vb import pad_time
+            nl_eligible = (
+                kernel_mode in ("auto", "pallas-loop")
+                and options.get_string("continue-from-mvn", "") == ""
+                and type(self.detector).name == "maxits"
+                and not self.is_lm
+                and int(self.detector.max_iterations) >= 1
+                and not self.save_fhist
+                and not self.prior_setup.has_ard
+                and not self.prior_setup.spatial_params
+                and options.get_string("noise-initial-posterior",
+                                       "modeldefault") == "modeldefault"
+                and pick_nl_block(1024, self.nparams, pad_time(self.nt),
+                                  self.noise.nphis) is not None)
+        if kernel_mode == "pallas-loop":
+            self.use_nl_loop = nl_eligible
+            self.nl_interpret = jax.default_backend() != "tpu"
+        else:  # auto: engage on real TPU only
+            self.use_nl_loop = (nl_eligible
+                                and jax.default_backend() == "tpu")
+            self.nl_interpret = False
+
         # Iteration cap for the while loop (detector guarantees
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
@@ -435,7 +470,8 @@ class VBInference:
         if base.shape[-1] == self.nvoxels:
             base = base[:, sl]
         fused_data = ()
-        if getattr(self, "use_fused", False):
+        if getattr(self, "use_fused", False) \
+                or getattr(self, "use_nl_loop", False):
             from ..ops.fused_vb import pad_time
             tp = pad_time(self.nt)
             d = self.data[:, sl].astype(self.dtype)  # kernel wants f32
@@ -606,12 +642,11 @@ class VBInference:
                 centre, pm, pp, phi, fdata = planes
                 alpha = None
             nv = centre.shape[-1]
-            block = next((bb for bb in (1024, 512, 256, 128)
-                          if nv % bb == 0), None)
-            pad = 0
-            if block is None:
-                block = 128
-                pad = (-nv) % block
+            # largest tile with edge padding: divisibility-first would
+            # degrade to 128-voxel tiles at volume-scale counts (1M
+            # divides none of the candidates), ~2x slower end to end
+            block = 1024
+            pad = (-nv) % block
 
             def pad_v(x):
                 if pad and hasattr(x, "ndim") and x.ndim >= 1 \
@@ -831,6 +866,99 @@ class VBInference:
 
         return loop
 
+    def _compiled_loop_nl(self):
+        """Whole-loop nonlinear Pallas route (ops/fused_loop_nl.py):
+        the entire maxits fixed point of a time-signal model runs on
+        VMEM-resident state — model re-evaluated in-kernel each
+        iteration, phi updated in-kernel, one data read and one
+        posterior write per voxel tile. Arithmetic identical to the
+        per-iteration fused kernel / XLA generic route."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.fused_loop_nl import (make_fused_nl_loop,
+                                         pack_nl_consts, pick_nl_block)
+        from ..ops.fused_vb import pad_time
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        n_iters = int(self.detector.max_iterations)
+        nq = self.noise.nphis
+        p = self.nparams
+        tp = pad_time(self.nt)
+        transforms = [pm_.transform for pm_ in self.params]
+
+        def run_local(centre0, pm, pp, fdata, consts):
+            """Kernel dispatch on one device's voxel planes (the whole
+            array when unsharded; the local shard under shard_map)."""
+            nv = centre0.shape[-1]
+            block, pad = pick_nl_block(nv, p, tp, nq)
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_nl_loop(
+                self.model.time_signal, transforms, p, self.nt, n_iters,
+                nv + pad, self.dtype, self.need_f, self.noise.qmasks,
+                locked_noise_stdev=self.noise.locked_noise_stdev,
+                block=block, interpret=self.nl_interpret,
+                time_signal_jac=getattr(self.model, "time_signal_jac",
+                                        None))
+            outs = fused(pad_v(centre0), pad_v(pm), pad_v(pp),
+                         pad_v(fdata), consts)
+            if pad:
+                outs = tuple(o[..., :nv] for o in outs)
+            return outs
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, 2, 2, 2, None),
+            out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            consts = pack_nl_consts(
+                self.noise_prior.b, self.noise_prior.c,
+                self.noise.ntimes_per_group, init_b, init_c, self.dtype,
+                nq)
+            # initial linearization centre = the (possibly model-
+            # initialized) posterior means from initial_state
+            means, prec, cov, nb, nc, fkqk, ftr = dispatch(
+                s.post.means, prior_means, prior_prec, bind.fused_data,
+                consts)
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if self.need_f:
+                # fprior is zero for the (non-ARD, non-spatial) priors
+                # this route admits; final F from the in-kernel
+                # quadratics at the final means
+                f = self.noise.free_energy_from_parts(
+                    noise_post, self.noise_prior, means, prec, cov,
+                    prior_means, prior_prec,
+                    [fkqk[i] for i in range(nq)],
+                    [ftr[i] for i in range(nq)])
+            else:
+                f = s.f
+            conv = s.conv._replace(
+                its=jnp.full(nv, n_iters, jnp.int32),
+                done=jnp.ones(nv, bool))
+            out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def _compiled_loop_kernel_ar(self):
         """AR(1) whole-loop Pallas route (ops/fused_loop_ar.py):
         single-echo/no-cross-terms stats -> final posterior + AR noise
@@ -985,6 +1113,8 @@ class VBInference:
 
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
+        if getattr(self, "use_nl_loop", False):
+            return self._compiled_loop_nl()
         if self.use_loop_kernel:
             if getattr(self, "use_spectral", False):
                 return self._compiled_loop_spectral()
@@ -1063,7 +1193,8 @@ class VBInference:
         # loop temporaries: [T,V]-sized planes; generic path also
         # carries the [P,T,V] Jacobian and autodiff intermediates; the
         # fused Pallas route stages the Jacobian in VMEM only
-        if getattr(self, "use_fused", False):
+        if getattr(self, "use_fused", False) \
+                or getattr(self, "use_nl_loop", False):
             per_vox += t * 2 * item
         elif getattr(self, "use_stats", False):
             # loop carries no [T,V] planes; the one-time stats pass
@@ -1128,21 +1259,24 @@ class VBInference:
 
     def _run_vb(self, continue_means=None, continue_cov=None,
                 continue_noise=None):
-        if self.use_loop_kernel and (continue_means is not None
-                                     or continue_noise is not None):
+        if (self.use_loop_kernel or getattr(self, "use_nl_loop", False)) \
+                and (continue_means is not None
+                     or continue_noise is not None):
             # the kernel always starts from the model-default init; a
             # programmatic initial posterior/noise must take the XLA
             # route (the option-string gate above only sees
             # continue-from-mvn). Restore after — a later run() without
             # continuation (e.g. a fresh MC sequence) keeps the fast
             # route.
-            saved_route = self.use_loop_kernel
+            saved_route = (self.use_loop_kernel,
+                           getattr(self, "use_nl_loop", False))
             self.use_loop_kernel = False
+            self.use_nl_loop = False
             try:
                 return self._run_vb(continue_means, continue_cov,
                                     continue_noise)
             finally:
-                self.use_loop_kernel = saved_route
+                self.use_loop_kernel, self.use_nl_loop = saved_route
         chunk = self._chunk_size()
         # single-dispatch path: initial state built on device inside
         # the compiled program (host round trips cost ~ms each on the

@@ -1,0 +1,413 @@
+"""Whole-VB-loop Pallas kernel for time-local (nonlinear) models.
+
+The per-iteration fused kernel (ops/fused_vb.py) already keeps the
+Jacobian and residual in VMEM, but under the engine's XLA iteration
+loop the posterior state (means, precision, covariance, noise Gammas)
+still round-trips HBM every iteration, the [Tp,V] data plane is
+re-read every iteration, and each iteration pays a kernel dispatch
+plus the XLA-side lane-merge traffic over [P,P,V] planes. For a
+10-iteration run that is ~10x more HBM bytes than the state itself —
+the same pathology the fixed-design tiers solved with whole-loop
+kernels (ops/fused_loop.py).
+
+This kernel runs the ENTIRE maxits fixed point in one invocation: per
+voxel tile the data is read from HBM once, every iteration executes on
+VMEM-resident state —
+
+    per iteration (reference hot loop: inference_vb.cc:415-576):
+      pass A (time-blocked): evaluate the model + Jacobian at the
+          current linearization centre (analytic time_signal_jac when
+          the model provides one, in-kernel jax.linearize otherwise),
+          accumulating per-group J'Q_iJ / J'Q_i r while staging J and
+          r in VMEM scratch;
+      solve: Lambda = sum_i phi_i J'Q_iJ + diag(prior_prec); unrolled
+          jitter-retry Cholesky -> covariance -> new means (identical
+          arithmetic to ops/smallmat.py);
+      pass B (time-blocked): k = r + J(centre - means) read back from
+          scratch; per-group k'Q_ik; phi update Eq 21/22
+          (noisemodel_white.cc:228-273) IN-KERNEL;
+      the new means become the next iteration's centre —
+
+and only the final posterior leaves the chip (plus, when F is
+requested, one extra pass at the final means producing the per-group
+free-energy quadratics; the digamma/gammaln ELBO assembly stays
+outside, noise/white.py free_energy_from_parts).
+
+Eligibility (gated by the engine, inference/vb.py): white noise,
+time-local model, maxits detector (static trip count, no save/revert,
+no LM damping), iteration-invariant priors (non-ARD, non-spatial),
+model-default noise initialization, float32, no per-iteration F
+history. Results match the per-iteration fused kernel and the XLA
+generic-Jacobian route to float32 roundoff
+(tests/test_fused_loop_nl.py pins this).
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_vb import TB, _tri, pad_time, make_block_eval
+from .fused_loop import VMEM_BUDGET
+
+DEFAULT_BLOCK = 1024
+
+
+def n_nl_loop_rows(p, tp, nq):
+    """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
+
+    Counts the J/r scratch, the double-buffered data input, the
+    double-buffered small ins/outs, the iteration-loop carry and the
+    [TB,B] partial-sum planes carried across the time loop."""
+    ntri = p * (p + 1) // 2
+    scratch = tp * (p + 1)                      # jsc + rsc
+    data_in = 2 * tp                            # pipelined in buffers
+    small_io = 2 * (3 * p) + 2 * (p + 2 * p * p + 4 * nq)
+    carry = p + 2 * nq + 2 * ntri
+    time_partials = TB * nq * (ntri + p)
+    return scratch + data_in + small_io + carry + time_partials
+
+
+def pick_nl_block(nvoxels, p, tp, nq):
+    """Largest voxel tile whose estimated footprint fits VMEM_BUDGET;
+    (block, pad) or None when even the smallest tile doesn't fit
+    (caller falls back to the XLA route).
+
+    ALWAYS the largest fitting tile, padding the voxel axis up to a
+    multiple: at 1M voxels a divisibility-first rule would pick a
+    128-voxel tile (1M = 2^6 5^6 divides none of the candidates) —
+    1-vreg planes, ~8k grid steps, 1/8 lane utilization per op —
+    costing ~2x end-to-end, while edge padding is O(block) wasted
+    voxels out of millions."""
+    rows = n_nl_loop_rows(p, tp, nq)
+    for bb in (2048, 1024, 512, 256, 128):
+        if rows * bb * 4 <= VMEM_BUDGET:
+            return bb, (-nvoxels) % bb
+    return None
+
+
+def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
+                       nvoxels, dtype, need_f, qmasks,
+                       locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
+                       interpret=False, time_signal_jac=None):
+    """Build the whole-loop callable.
+
+    Returns fn(centre0 [P,V], prior_means [P,V], prior_prec [P,V],
+               data [Tp,V], consts [K,1])
+        -> (means [P,V], prec [P,P,V], cov [P,P,V], b [Q,V], c [Q,V],
+            fkqk [Q,V], ftr [Q,V])
+
+    consts packs, in order: 1/b0 [Q], c_post = (ntimes_i-1)/2 + c0 [Q],
+    b_init [Q], c_init [Q] (see pack_nl_consts). fkqk/ftr are the
+    free-energy quadratics at the final means (zeros if not need_f).
+    """
+    p = nparams
+    tri = _tri(p)
+    ntri = len(tri)
+    nq = qmasks.shape[0]
+    tp = pad_time(nt)
+    ntb = tp // TB
+    qm_host = np.zeros((tp, nq), dtype=np.float32)
+    qm_host[:nt, :] = np.asarray(qmasks, np.float32).T
+
+    if nvoxels % block != 0:
+        raise ValueError(f"block={block} must divide nvoxels={nvoxels} "
+                         "(caller pads)")
+
+    make_signal_and_jac = make_block_eval(time_signal, transforms, p,
+                                          dtype, time_signal_jac)
+
+    def at_tri(mat_list, i, j):
+        i, j = max(i, j), min(i, j)
+        return mat_list[tri.index((i, j))]
+
+    def chol_planes_jittered(a_at):
+        """Unrolled Cholesky with the jitter-retry degradation path of
+        ops/smallmat.cholesky_jittered: lanes whose plain factorization
+        produced a non-finite diagonal refactorize with +1e-10."""
+        def chol(aij):
+            ch = [None] * ntri
+            for i in range(p):
+                s = aij(i, i)
+                for k in range(i):
+                    s = s - ch[tri.index((i, k))] ** 2
+                ch[tri.index((i, i))] = jnp.sqrt(s)
+                inv_d = 1.0 / ch[tri.index((i, i))]
+                for j in range(i + 1, p):
+                    s = aij(j, i)
+                    for k in range(i):
+                        s = s - ch[tri.index((j, k))] * ch[tri.index((i, k))]
+                    ch[tri.index((j, i))] = s * inv_d
+            return ch
+
+        ch0 = chol(a_at)
+        bad = ~jnp.isfinite(ch0[tri.index((0, 0))])
+        for i in range(1, p):
+            bad = bad | ~jnp.isfinite(ch0[tri.index((i, i))])
+        jit = jnp.where(bad, dtype(1e-10), dtype(0.0))
+        return chol(lambda i, j: a_at(i, j) + (jit if i == j
+                                               else dtype(0.0)))
+
+    def inv_from_chol(ch):
+        invl = {}
+        for i in range(p):
+            invl[(i, i)] = 1.0 / ch[tri.index((i, i))]
+        for i in range(p):
+            for j in range(i - 1, -1, -1):
+                s = 0.0
+                for k in range(j + 1, i + 1):
+                    s = s + ch[tri.index((k, j))] * invl[(i, k)]
+                invl[(i, j)] = -s / ch[tri.index((j, j))]
+        cv = {}
+        for i in range(p):
+            for j in range(i + 1):
+                s = 0.0
+                for k in range(i, p):
+                    s = s + invl[(k, i)] * invl[(k, j)]
+                cv[(i, j)] = s
+                cv[(j, i)] = s
+        return cv
+
+    def kernel(centre0_ref, pm_ref, pp_ref, data_ref, qm_ref, consts_ref,
+               means_out, prec_out, cov_out, b_out, c_out,
+               fkqk_out, ftr_out, jsc, rsc):
+        b = centre0_ref.shape[-1]
+        ones = jnp.ones((1, b), dtype)
+
+        def cst(row):
+            return consts_ref[row:row + 1, 0:1]
+
+        inv_b0 = [cst(q) for q in range(nq)]
+        c_post = [cst(nq + q) for q in range(nq)]
+        b_init = [cst(2 * nq + q) for q in range(nq)]
+        c_init = [cst(3 * nq + q) for q in range(nq)]
+
+        pm = [pm_ref[i:i + 1] for i in range(p)]
+        pp = [pp_ref[i:i + 1] for i in range(p)]
+
+        def qw(qi, t0):
+            return qm_ref[pl.ds(t0, TB), qi:qi + 1]
+
+        def rsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        zero_tb = jnp.zeros((TB, b), dtype)
+        zero_1b = jnp.zeros((1, b), dtype)
+
+        def iteration(_, carry):
+            centre, bq, cq, _prec, _cov = carry
+            phi = [bq[q] * cq[q] for q in range(nq)]
+
+            # ---- pass A: per-group J'Q_iJ / J'Q_i r at the centre;
+            # [TB,B] partial sums carried across the time loop, one
+            # cross-sublane reduction per quadratic after it ----------
+            centre_block_fn = make_signal_and_jac(list(centre))
+
+            def body_a(tb, acc):
+                jtjq, jtrq = acc
+                t0 = tb * jnp.int32(TB)
+                sig, jrows = centre_block_fn(t0)
+                r = data_ref[pl.ds(t0, TB), :] - sig
+                rsc[pl.ds(t0, TB), :] = r
+                for a in range(p):
+                    jsc[pl.ds(jnp.int32(a * tp) + t0, TB), :] = jrows[a]
+                add_jtj, add_jtr = [], []
+                for qi in range(nq):
+                    w = qw(qi, t0)
+                    for i, j in tri:
+                        add_jtj.append(w * jrows[i] * jrows[j])
+                    for a in range(p):
+                        add_jtr.append(w * jrows[a] * r)
+                return (tuple(x + y for x, y in zip(jtjq, add_jtj)),
+                        tuple(x + y for x, y in zip(jtrq, add_jtr)))
+
+            jtjq_t, jtrq_t = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(ntb), body_a,
+                (tuple(zero_tb for _ in range(nq * ntri)),
+                 tuple(zero_tb for _ in range(nq * p))))
+            jtjq = [rsum(x) for x in jtjq_t]
+            jtrq = [rsum(x) for x in jtrq_t]
+
+            def at_q(qi, i, j):
+                i, j = max(i, j), min(i, j)
+                return jtjq[qi * ntri + tri.index((i, j))]
+
+            # ---- solve (update_theta arithmetic, Eq 19/20) ------------
+            prec = []
+            for i, j in tri:
+                v = 0.0
+                for qi in range(nq):
+                    v = v + phi[qi] * at_q(qi, i, j)
+                if i == j:
+                    v = v + pp[i]
+                prec.append(v)
+            ch = chol_planes_jittered(lambda i, j: at_tri(prec, i, j))
+            cov = inv_from_chol(ch)
+            rhs = []
+            for a in range(p):
+                v = 0.0
+                for qi in range(nq):
+                    gi = jtrq[qi * p + a]
+                    for j in range(p):
+                        gi = gi + at_q(qi, a, j) * centre[j]
+                    v = v + phi[qi] * gi
+                rhs.append(v + pp[a] * pm[a])
+            means = [sum(cov[(i, j)] * rhs[j] for j in range(p))
+                     for i in range(p)]
+
+            # ---- pass B: k'Q_ik, k = r + J(centre - means) ------------
+            delta_cm = [centre[i] - means[i] for i in range(p)]
+
+            def body_b(tb, kqk):
+                t0 = tb * jnp.int32(TB)
+                k = rsc[pl.ds(t0, TB), :]
+                for i in range(p):
+                    k = k + jsc[pl.ds(jnp.int32(i * tp) + t0, TB), :] \
+                        * delta_cm[i]
+                k2 = k * k
+                return tuple(kqk[qi] + qw(qi, t0) * k2
+                             for qi in range(nq))
+
+            nkqk_t = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(ntb), body_b,
+                tuple(zero_tb for _ in range(nq)))
+            nkqk = [rsum(x) for x in nkqk_t]
+
+            # ---- phi update (Eq 21/22, _noise_from_quadratics) --------
+            new_b, new_c = [], []
+            for qi in range(nq):
+                tr_q = 0.0
+                for i in range(p):
+                    for j in range(p):
+                        tr_q = tr_q + cov[(i, j)] * at_q(qi, i, j)
+                bq_new = 1.0 / ((nkqk[qi] + tr_q) * 0.5 + inv_b0[qi])
+                cq_new = c_post[qi] * ones
+                if locked_noise_stdev > 0:
+                    bq_new = 1.0 / cq_new / locked_noise_stdev ** 2
+                new_b.append(bq_new)
+                new_c.append(cq_new)
+
+            return (tuple(means), tuple(new_b), tuple(new_c),
+                    tuple(prec), tuple(cov[ij] for ij in tri))
+
+        init = (tuple(centre0_ref[i:i + 1] for i in range(p)),
+                tuple(b_init[q] * ones for q in range(nq)),
+                tuple(c_init[q] * ones for q in range(nq)),
+                tuple(zero_1b for _ in range(ntri)),
+                tuple(zero_1b for _ in range(ntri)))
+        means, bq, cq, prec, cov_t = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_iters), iteration, init)
+        cov = {}
+        for k, (i, j) in enumerate(tri):
+            cov[(i, j)] = cov_t[k]
+            cov[(j, i)] = cov_t[k]
+
+        for i in range(p):
+            means_out[i:i + 1] = means[i]
+        for i in range(p):
+            for j in range(p):
+                prec_out[i * p + j:i * p + j + 1] = at_tri(prec, i, j)
+                cov_out[i * p + j:i * p + j + 1] = cov[(i, j)]
+        for q in range(nq):
+            b_out[q:q + 1] = bq[q]
+            c_out[q:q + 1] = cq[q]
+
+        # ---- free-energy quadratics at the FINAL means ---------------
+        if need_f:
+            b_cols = means[0].shape[-1]
+            means_block_fn = make_signal_and_jac(list(means))
+
+            def body_c(tb, carry):
+                kqk2, jtjq2 = carry
+                t0 = tb * jnp.int32(TB)
+                sig, jrows = means_block_fn(t0)
+                kblk = data_ref[pl.ds(t0, TB), :] - sig
+                k2 = kblk * kblk
+                add_kqk, add_jtj = [], []
+                for qi in range(nq):
+                    w = qw(qi, t0)
+                    add_kqk.append(w * k2)
+                    for i, j in tri:
+                        add_jtj.append(w * jrows[i] * jrows[j])
+                return (tuple(x + y for x, y in zip(kqk2, add_kqk)),
+                        tuple(x + y for x, y in zip(jtjq2, add_jtj)))
+
+            zero_tb2 = jnp.zeros((TB, b_cols), dtype)
+            kqk2_t, jtjq2_t = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(ntb), body_c,
+                (tuple(zero_tb2 for _ in range(nq)),
+                 tuple(zero_tb2 for _ in range(nq * ntri))))
+            jtjq2 = [rsum(x) for x in jtjq2_t]
+            for qi in range(nq):
+                fkqk_out[qi:qi + 1] = rsum(kqk2_t[qi])
+                tr2 = 0.0
+                for i in range(p):
+                    for j in range(p):
+                        i_, j_ = max(i, j), min(i, j)
+                        tr2 = tr2 + cov[(i, j)] * \
+                            jtjq2[qi * ntri + tri.index((i_, j_))]
+                ftr_out[qi:qi + 1] = tr2
+        else:
+            fkqk_out[:] = jnp.zeros((nq, b), dtype)
+            ftr_out[:] = jnp.zeros((nq, b), dtype)
+
+    grid = (nvoxels // block,)
+
+    def vox_spec(rows):
+        # NB np.int32 constant: under x64 a literal 0 would make the
+        # index map return mixed i64/i32, which Mosaic rejects
+        return pl.BlockSpec((rows, block), lambda i: (np.int32(0), i),
+                            memory_space=pltpu.VMEM)
+
+    def fixed_spec(rows, cols):
+        return pl.BlockSpec((rows, cols),
+                            lambda i: (np.int32(0), np.int32(0)),
+                            memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(tp),
+                  fixed_spec(tp, nq), fixed_spec(4 * nq, 1)],
+        out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
+                   vox_spec(nq), vox_spec(nq), vox_spec(nq), vox_spec(nq)),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p * tp, block), dtype),  # staged Jacobian
+            pltpu.VMEM((tp, block), dtype),      # staged residual
+        ],
+        interpret=interpret,
+    )
+
+    def run(centre0, prior_means, prior_prec, data_padded, consts):
+        qm = jnp.asarray(qm_host, dtype)
+        means, prec_f, cov_f, nb, nc, fkqk, ftr = call(
+            centre0, prior_means, prior_prec, data_padded, qm, consts)
+        return (means, prec_f.reshape(p, p, nvoxels),
+                cov_f.reshape(p, p, nvoxels), nb, nc, fkqk, ftr)
+
+    return run
+
+
+def pack_nl_consts(noise_prior_b, noise_prior_c, ntimes_per_group,
+                   init_b, init_c, dtype, nq):
+    """[4Q,1] kernel constant vector (see make_fused_nl_loop)."""
+    b0 = jnp.asarray(noise_prior_b, dtype).reshape(nq)
+    c0 = jnp.asarray(noise_prior_c, dtype).reshape(nq)
+    nt_g = jnp.asarray(np.asarray(ntimes_per_group, np.float32), dtype)
+    c_post = (nt_g - 1.0) * 0.5 + c0
+    return jnp.concatenate([
+        1.0 / b0,
+        c_post,
+        jnp.full((nq,), float(init_b), dtype),
+        jnp.full((nq,), float(init_c), dtype),
+    ])[:, None]

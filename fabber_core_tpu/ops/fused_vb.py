@@ -53,6 +53,72 @@ def pad_time(nt):
     return ((nt + TB - 1) // TB) * TB
 
 
+def make_block_eval(time_signal, transforms, nparams, dtype,
+                    time_signal_jac=None):
+    """In-kernel model evaluator factory shared by the per-iteration
+    kernel (below) and the whole-loop kernel (ops/fused_loop_nl.py).
+
+    Returns make_signal_and_jac(latent_rows) -> block_fn(t0) ->
+    (sig [TB,B], P x [TB,B] latent-space Jacobian rows), with the
+    per-voxel (time-independent) work hoisted out of the time loop.
+    """
+    p = nparams
+
+    def to_model(latent_rows):
+        return [tr.to_model(latent_rows[i])
+                for i, tr in enumerate(transforms)]
+
+    def chain_factors(latent_rows):
+        """d model_i / d latent_i, one [1,B] plane per parameter —
+        time-independent, so hoisted out of the time-block loops."""
+        out = []
+        for i, tr in enumerate(transforms):
+            _, d = jax.jvp(tr.to_model, (latent_rows[i],),
+                           (jnp.ones_like(latent_rows[i]),))
+            out.append(d)
+        return out
+
+    def make_signal_and_jac(latent_rows):
+        if time_signal_jac is not None:
+            mrows = to_model(latent_rows)
+            chain = chain_factors(latent_rows)
+
+            def block_fn(t0):
+                tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
+                tf = tidx.astype(dtype)
+                sig, jm = time_signal_jac(mrows, tf)
+                return sig, [jm[i] * chain[i] for i in range(p)]
+
+            return block_fn
+
+        def block_fn(t0):
+            tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
+            tf = tidx.astype(dtype)
+
+            def f(stack):
+                rows = [stack[i:i + 1] for i in range(p)]
+                return time_signal(to_model(rows), tf)
+
+            stack = jnp.concatenate(latent_rows, axis=0)  # [P,B]
+            b = stack.shape[-1]
+            # linearize evaluates the primal once; each Jacobian row is
+            # then one application of the linear map (vs P+1 full evals)
+            sig, f_jvp = jax.linearize(f, stack)
+            jrows = []
+            for i in range(p):
+                # basis tangent without scatter (Mosaic has no scatter)
+                basis = jnp.concatenate(
+                    [jnp.ones((1, b), dtype) if j == i
+                     else jnp.zeros((1, b), dtype) for j in range(p)],
+                    axis=0)
+                jrows.append(f_jvp(basis))
+            return sig, jrows
+
+        return block_fn
+
+    return make_signal_and_jac
+
+
 def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
                          dtype, need_f, qmasks, block=DEFAULT_BLOCK,
                          with_lm=False, interpret=False,
@@ -90,58 +156,8 @@ def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
     qm_host = np.zeros((tp, nq), dtype=np.float32)
     qm_host[:nt, :] = np.asarray(qmasks, np.float32).T
 
-    def to_model(latent_rows):
-        return [tr.to_model(latent_rows[i]) for i, tr in enumerate(transforms)]
-
-    def chain_factors(latent_rows):
-        """d model_i / d latent_i, one [1,B] plane per parameter —
-        time-independent, so hoisted out of the time-block loops."""
-        out = []
-        for i, tr in enumerate(transforms):
-            _, d = jax.jvp(tr.to_model, (latent_rows[i],),
-                           (jnp.ones_like(latent_rows[i]),))
-            out.append(d)
-        return out
-
-    def make_signal_and_jac(latent_rows):
-        """Returns block_fn(t0) -> (sig [TB,B], P x [TB,B] latent-space
-        Jacobian rows), with per-voxel (time-independent) work hoisted."""
-        if time_signal_jac is not None:
-            mrows = to_model(latent_rows)
-            chain = chain_factors(latent_rows)
-
-            def block_fn(t0):
-                tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
-                tf = tidx.astype(dtype)
-                sig, jm = time_signal_jac(mrows, tf)
-                return sig, [jm[i] * chain[i] for i in range(p)]
-
-            return block_fn
-
-        def block_fn(t0):
-            tidx = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + t0
-            tf = tidx.astype(dtype)
-
-            def f(stack):
-                rows = [stack[i:i + 1] for i in range(p)]
-                return time_signal(to_model(rows), tf)
-
-            stack = jnp.concatenate(latent_rows, axis=0)  # [P,B]
-            b = stack.shape[-1]
-            # linearize evaluates the primal once; each Jacobian row is
-            # then one application of the linear map (vs P+1 full evals)
-            sig, f_jvp = jax.linearize(f, stack)
-            jrows = []
-            for i in range(p):
-                # basis tangent without scatter (Mosaic has no scatter)
-                basis = jnp.concatenate(
-                    [jnp.ones((1, b), dtype) if j == i
-                     else jnp.zeros((1, b), dtype) for j in range(p)],
-                    axis=0)
-                jrows.append(f_jvp(basis))
-            return sig, jrows
-
-        return block_fn
+    make_signal_and_jac = make_block_eval(time_signal, transforms, p,
+                                          dtype, time_signal_jac)
 
     def kernel(*refs):
         if with_lm:

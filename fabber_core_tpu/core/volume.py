@@ -50,10 +50,13 @@ class VolumeGeometry:
         return flat[self.vox_idx]
 
     def from_voxels(self, arr, fill=0.0):
-        """[V, T] or [V] voxel array -> 4-D/3-D volume (unmasked = fill)."""
+        """[V, T] or [V] voxel array -> 4-D/3-D volume (unmasked = fill).
+        Single-plane products ([V] or [V,1]) come back 3-D, matching
+        the reference's saved volumes (e.g. outdata_poly/noise_means
+        is 3-D despite being a 1-column matrix internally)."""
         arr = np.asarray(arr)
-        squeeze = arr.ndim == 1
-        if squeeze:
+        squeeze = arr.ndim == 1 or arr.shape[1] == 1
+        if arr.ndim == 1:
             arr = arr[:, None]
         nt = arr.shape[1]
         flat = np.full((int(np.prod(self.shape)), nt), fill, dtype=arr.dtype)

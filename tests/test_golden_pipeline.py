@@ -1,0 +1,65 @@
+"""End-to-end golden regression: full CLI pipeline vs committed
+fixtures (tests/golden/, generated independently from the NumPy
+oracles — see tests/golden/README). A regression anywhere in the
+pipeline (option parsing -> voxel packing -> inference -> back
+transform -> NIFTI write) fails against a committed artifact, the
+equivalent of the reference's outdata_* dirs
+(/root/reference/test/outdata_poly/README:1-3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fabber_core_tpu import cli
+from fabber_core_tpu.tools.niftidiff import diff_files
+
+REF = "/root/reference/test"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+LINEAR = ["--model=linear", f"--basis={REF}/test_linear_design.mat"]
+CONFIGS = {
+    "poly_vb": ["--model=poly", "--degree=2", "--method=vb"],
+    "linear_vb": LINEAR + ["--method=vb"],
+    "linear_spatialvb": LINEAR + ["--method=spatialvb"],
+    "linear_nlls": LINEAR + ["--method=nlls"],
+}
+
+# Per-product tolerance: the fixtures are float32 files of float64
+# oracle values, and the engine's op order differs from the oracle's,
+# so values can round to neighbouring f32 representations — one ulp at
+# the value scale (~1e4 for means on this int16 data) is ~1e-3. The
+# reference's own niftidiff uses eps 0.01 (test/niftidiff.cc).
+EPS = {"mean": 0.01, "finalMVN": 0.01, "freeEnergy": 1e-3,
+       "noise": 1e-4, "std": 1e-3, "zstat": 1e-4}
+
+
+@pytest.mark.parametrize("config", sorted(CONFIGS))
+def test_golden_pipeline(config, tmp_path):
+    out = str(tmp_path / "out")
+    args = [f"--data={REF}/test_data_small.nii.gz", "--noise=white",
+            "--max-iterations=10", "--save-mean", "--save-std",
+            "--save-zstat", "--save-mvn", "--save-noise-mean",
+            "--save-noise-std", "--save-free-energy",
+            f"--output={out}"] + CONFIGS[config]
+    assert cli.execute(args) == 0
+
+    gold_dir = os.path.join(GOLDEN, config)
+    fixtures = [f for f in sorted(os.listdir(gold_dir))
+                if f.endswith(".nii.gz")]
+    assert len(fixtures) >= 13
+    failures = []
+    for fname in fixtures:
+        produced = os.path.join(out, fname)
+        assert os.path.exists(produced), f"CLI did not write {fname}"
+        eps = EPS[fname.split("_")[0].split(".")[0]]
+        ok, msg = diff_files(os.path.join(gold_dir, fname), produced,
+                             eps=eps)
+        if not ok:
+            failures.append(f"{fname}: {msg}")
+    assert not failures, "\n".join(failures)
+
+    with open(os.path.join(gold_dir, "paramnames.txt")) as f:
+        expected_names = f.read().split()
+    with open(os.path.join(out, "paramnames.txt")) as f:
+        assert f.read().split() == expected_names

@@ -374,15 +374,12 @@ class VBInference:
                       if noise_name == "white"
                       else n_ar_loop_planes(self.nparams))
             loop_noise_ok = pick_block(1024, planes) is not None
-        loop_eligible = (
+        # gates shared by every whole-loop/spectral fast route: stats
+        # form, default initial dists, iteration-invariant priors, f32
+        loop_gates_common = (
             self.use_stats
-            and loop_noise_ok
-            and kernel_mode in ("auto", "pallas-loop", "spectral")
             and options.get_string("continue-from-mvn", "") == ""
-            and type(self.detector).name == "maxits" and not self.is_lm
-            # zero-trip kernel would emit an all-zero posterior instead
-            # of the initial one; the XLA route handles maxits=0
-            and int(self.detector.max_iterations) >= 1
+            and not self.is_lm
             and not self.save_fhist
             and not self.prior_setup.has_ard
             and not self.prior_setup.spatial_params
@@ -390,6 +387,14 @@ class VBInference:
             and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
             and options.get_string("noise-initial-posterior",
                                    "modeldefault") == "modeldefault")
+        loop_eligible = (
+            loop_gates_common
+            and loop_noise_ok
+            and kernel_mode in ("auto", "pallas-loop", "spectral")
+            and type(self.detector).name == "maxits"
+            # zero-trip kernel would emit an all-zero posterior instead
+            # of the initial one; the XLA route handles maxits=0
+            and int(self.detector.max_iterations) >= 1)
         if kernel_mode == "pallas-loop":
             self.use_loop_kernel = loop_eligible
             self.loop_interpret = jax.default_backend() != "tpu"
@@ -405,11 +410,10 @@ class VBInference:
         # voxel-iteration, pure XLA. Same gates as the loop kernel
         # plus single-group/unlocked noise; preferred over the Pallas
         # loop kernel when both are eligible.
-        spectral_eligible = (
-            loop_eligible
-            and noise_name == "white"
-            and self.noise.nphis == 1
-            and self.noise.locked_noise_stdev <= 0)
+        spectral_ok = (noise_name == "white"
+                       and self.noise.nphis == 1
+                       and self.noise.locked_noise_stdev <= 0)
+        spectral_eligible = loop_eligible and spectral_ok
         if kernel_mode == "spectral":
             self.use_spectral = spectral_eligible
         else:
@@ -418,6 +422,23 @@ class VBInference:
                                  and jax.default_backend() == "tpu")
         if self.use_spectral:
             self.use_loop_kernel = True  # shared run()/dispatch gates
+
+        # F-based detectors on the spectral route: pointzeroone /
+        # freduce / trialmode run their batched state machines inside
+        # the eigenbasis loop, with per-lane F computed in ~15 flops
+        # (ops/spectral.py make_spectral_detector_loop) — the fast tier
+        # no longer requires maxits (VERDICT r2 item 4). Pure XLA, so
+        # engaged off-TPU too when explicitly requested.
+        sfd_eligible = (
+            loop_gates_common and spectral_ok
+            and type(self.detector).name in ("pointzeroone", "freduce",
+                                             "trialmode")
+            and kernel_mode in ("auto", "spectral"))
+        if kernel_mode == "spectral":
+            self.use_spectral_fdet = sfd_eligible
+        else:
+            self.use_spectral_fdet = (sfd_eligible
+                                      and jax.default_backend() == "tpu")
 
         # Whole-loop nonlinear kernel (ops/fused_loop_nl.py): for
         # time-signal models the ENTIRE maxits fixed point runs on
@@ -1111,8 +1132,93 @@ class VBInference:
 
         return loop
 
+    def _compiled_loop_spectral_fdet(self):
+        """Spectral route under an F-based detector (pointzeroone /
+        freduce / trialmode): the detector state machines run inside
+        the eigenbasis loop; per-lane save/revert state is the scalar
+        (generating phi, noise b) pair. Lanes whose selected state is
+        the engine-initial posterior (freduce reverts, trialmode best
+        init) are filled from the initial planes here."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.spectral import make_spectral_detector_loop
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        b0 = float(np.asarray(self.noise_prior.b).reshape(-1)[0])
+        c0 = float(np.asarray(self.noise_prior.c).reshape(-1)[0])
+        nt_g = float(np.asarray(self.noise.ntimes_per_group).reshape(-1)[0])
+        p = self.nparams
+
+        spectral = make_spectral_detector_loop(
+            np.asarray(self.design, np.float64),
+            np.asarray(self.noise.qmasks, np.float64)[0],
+            np.asarray(self.prior_setup.base_precs, np.float64),
+            self.detector, self.max_iter_cap, init_b, init_c,
+            inv_b0=1.0 / b0, c_post=(nt_g - 1.0) * 0.5 + c0,
+            b0=b0, c0=c0, dtype=self.dtype)
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), spectral,
+            in_vox_dims=(2, 2, 2, 2, 1),
+            out_vox_dims=(2, 3, 3, 2, 1, 1))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            means, prec, cov, nb, sel_init, conv = dispatch(
+                stats.m0, stats.rtqr[0][None, :].astype(self.dtype),
+                stats.dtqr[0].astype(self.dtype), prior_means, s.conv)
+
+            # lanes that reverted to (or saved) the initial posterior:
+            # it is off the spectral manifold, restore from s — INCLUDING
+            # the placeholder prior planes, which is what the XLA
+            # route's best-state copy carries for a state saved before
+            # iteration 0's prior sweep (the final F of a reverted-to-
+            # initial lane is implementation-defined garbage either
+            # way; matching keeps the routes bit-comparable)
+            means = jnp.where(sel_init[None, :], s.post.means, means)
+            prec = jnp.where(sel_init[None, None, :], s.post.prec, prec)
+            cov = jnp.where(sel_init[None, None, :], s.post.cov, cov)
+            nb = jnp.where(sel_init[None, :], s.post.noise.b, nb)
+            nc = jnp.where(sel_init[None, :], s.post.noise.c,
+                           jnp.full_like(nb, (nt_g - 1.0) * 0.5 + c0))
+            prior_means = jnp.where(sel_init[None, :],
+                                    s.post.prior_means, prior_means)
+            prior_prec = jnp.where(sel_init[None, :],
+                                   s.post.prior_prec, prior_prec)
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if self.need_f:
+                # recompute on the final (possibly reverted) state:
+                # identical inputs to the lane's frozen in-loop value
+                # for non-reverted lanes, and exactly the engine's
+                # _finalize recompute for reverted ones; fprior is
+                # zero for the priors this route admits
+                f = self.noise.free_energy_stats(
+                    noise_post, self.noise_prior, means, prec, cov,
+                    prior_means, prior_prec, stats)
+            else:
+                f = s.f
+            out = s._replace(it=jnp.array(self.max_iter_cap, jnp.int32),
+                             post=post, centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
+        if getattr(self, "use_spectral_fdet", False):
+            return self._compiled_loop_spectral_fdet()
         if getattr(self, "use_nl_loop", False):
             return self._compiled_loop_nl()
         if self.use_loop_kernel:
@@ -1259,7 +1365,8 @@ class VBInference:
 
     def _run_vb(self, continue_means=None, continue_cov=None,
                 continue_noise=None):
-        if (self.use_loop_kernel or getattr(self, "use_nl_loop", False)) \
+        if (self.use_loop_kernel or getattr(self, "use_nl_loop", False)
+                or getattr(self, "use_spectral_fdet", False)) \
                 and (continue_means is not None
                      or continue_noise is not None):
             # the kernel always starts from the model-default init; a
@@ -1269,14 +1376,17 @@ class VBInference:
             # continuation (e.g. a fresh MC sequence) keeps the fast
             # route.
             saved_route = (self.use_loop_kernel,
-                           getattr(self, "use_nl_loop", False))
+                           getattr(self, "use_nl_loop", False),
+                           getattr(self, "use_spectral_fdet", False))
             self.use_loop_kernel = False
             self.use_nl_loop = False
+            self.use_spectral_fdet = False
             try:
                 return self._run_vb(continue_means, continue_cov,
                                     continue_noise)
             finally:
-                self.use_loop_kernel, self.use_nl_loop = saved_route
+                (self.use_loop_kernel, self.use_nl_loop,
+                 self.use_spectral_fdet) = saved_route
         chunk = self._chunk_size()
         # single-dispatch path: initial state built on device inside
         # the compiled program (host round trips cost ~ms each on the

@@ -33,13 +33,23 @@ engine-level agreement). The eigendecomposition of the P x P constant
 runs in float64 numpy at trace time.
 
 Eligibility (gated by the engine): fixed design + white noise with
-one phi group + maxits + iteration-invariant priors (the same gates
-as the whole-loop kernel) + no locked noise stdev.
+one phi group + iteration-invariant priors (the same gates as the
+whole-loop kernel) + no locked noise stdev. Detectors: the plain loop
+below serves maxits; make_spectral_detector_loop serves the F-based
+family (pointzeroone / freduce / trialmode) by evaluating the ELBO in
+the eigenbasis each iteration (~15 extra flops/voxel) and running the
+batched detector state machines (inference/convergence.py) on it —
+per-lane save/revert needs only TWO scalars (the generating phi mean
+and the noise b), because every spectral posterior is a pure function
+of its generating phi.
 """
+
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from scipy.special import digamma as _digamma, gammaln as _gammaln
 
 
 def spectral_basis(design_host, qmask_host, pp_host):
@@ -128,5 +138,144 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
         prec = (s_fin[None, None, :] * a[:, :, None]
                 + jnp.eye(p, dtype=dt)[:, :, None] * pp[:, None])
         return means, prec, cov, b, c
+
+    return run
+
+
+def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
+                                max_iter_cap, init_b, init_c, inv_b0,
+                                c_post, b0, c0, dtype):
+    """Spectral fixed point under an F-based convergence detector
+    (pointzeroone / freduce / trialmode — the batched state machines of
+    inference/convergence.py run verbatim inside the loop).
+
+    The ELBO (noisemodel_white.cc:365-454 via free_energy_from_parts)
+    collapses in the eigenbasis: with denom = s*lam+1 from the phi mean
+    s that GENERATED the current posterior and b the current noise
+    scale (c is the constant c_post after any update),
+
+      F = C - 0.5*sum(log denom) + (c_post+0.5)*log b
+          - b*c_post*(1/b0 + 0.5*kqk) - 0.5*tr
+          - 0.5*sum((mt-vt)^2) - 0.5*sum(1/denom)
+
+    (the log b coefficient is 1 [entropy] + T/2+c0-1 [part0]
+    = c_post+1/2; part4 uses vt = E'W^-1 pm = E'W(pp*pm)).
+
+    Per-lane save/revert state is the scalar pair (generating phi,
+    noise b) — every spectral posterior is a pure function of its
+    generating phi — plus an is-initial flag: the engine's initial
+    posterior is off the spectral manifold (freduce reverts restore
+    it, and trialmode initializes its best-state there), so lanes
+    whose selected state is the initial one are reconstructed by the
+    caller from the initial planes.
+
+    Returns fn(m0, rtqr, dtqr, pm, conv0) ->
+      (means, prec, cov, b [1,V], sel_init [V] bool, conv)
+    where lanes with sel_init must be overwritten by the caller and
+    conv carries the per-lane iteration counts / done flags.
+    """
+    a_h, lam_h, ew_h, winv_h = spectral_basis(design_host, qmask_host,
+                                              pp_host)
+    p = a_h.shape[0]
+    pp_h = np.asarray(pp_host, np.float64).reshape(-1)
+    t_n = float(np.asarray(qmask_host, np.float64).sum())
+    cpost_f = float(c_post)
+    # host-side f64 constant block of the ELBO (derivation above)
+    const = (0.5 * p - 0.5 * t_n * math.log(2 * math.pi)
+             + float(_gammaln(cpost_f)) + cpost_f
+             + 0.5 * float(_digamma(cpost_f))
+             - float(_gammaln(float(c0)))
+             - float(c0) * math.log(float(b0)))
+
+    def run(m0, rtqr, dtqr, pm, conv0):
+        dt = m0.dtype
+        lam = jnp.asarray(lam_h, dt)[:, None]
+        ew = jnp.asarray(ew_h, dt)
+        e_h = ew_h / winv_h[:, None]
+        etw = jnp.asarray(ew_h.T, dt)
+        etwi = jnp.asarray((e_h / winv_h[:, None]).T, dt)
+        a = jnp.asarray(a_h, dt)
+        pp = jnp.asarray(pp_h, dt)[:, None]
+
+        rtqr = rtqr.reshape(-1)[None, :] if rtqr.ndim == 1 else rtqr
+        dtqy = dtqr + a @ m0
+        ut = etw @ dtqy
+        u0t = etw @ dtqr
+        vt = etw @ (pp * pm)
+        m0t = etwi @ m0
+
+        nv = m0.shape[-1]
+        s0 = jnp.full(nv, float(init_b) * float(init_c), dt)
+        b_init = jnp.full(nv, float(init_b), dt)
+        ib0 = dt.type(float(inv_b0))
+        cpost = dt.type(cpost_f)
+        cbig = dt.type(const)
+        true_v = jnp.ones(nv, bool)
+
+        # carry: (it, cur_s [phi mean of current noise], cur_b,
+        #         gen_s [phi that generated current posterior],
+        #         is_init, best_gen, best_b, best_init, conv)
+        carry0 = (jnp.int32(0), s0, b_init, s0, true_v,
+                  s0, b_init, true_v, conv0)
+
+        def cond(c):
+            it, _, _, _, _, _, _, _, conv = c
+            return (~jnp.all(conv.done)) & (it < max_iter_cap)
+
+        def body(c):
+            it, cur_s, cur_b, gen_s, is_init, bg, bb, bi, conv = c
+            # 1. save current state as best where flagged (engine
+            #    _iteration step 1, inference_vb.cc:451)
+            bg_n = jnp.where(conv.save, gen_s, bg)
+            bb_n = jnp.where(conv.save, cur_b, bb)
+            bi_n = jnp.where(conv.save, is_init, bi)
+
+            # 2. theta update generated by the current phi mean
+            g = cur_s
+            denom = g[None, :] * lam + 1.0
+            mt = (g[None, :] * ut + vt) / denom
+            d_ = mt - m0t
+            cross = jnp.sum(d_ * u0t, axis=0)
+            quad = jnp.sum(lam * d_ * d_, axis=0)
+            tr = jnp.sum(lam / denom, axis=0)
+            kqk = jnp.maximum(rtqr[0] - 2.0 * cross + quad, 0.0)
+            # 3. noise update
+            b_new = 1.0 / ((kqk + tr) * 0.5 + ib0)
+            s_new = b_new * cpost
+            # 4. ELBO at (new means, new noise)
+            f = (cbig - 0.5 * jnp.sum(jnp.log(denom), axis=0)
+                 + (cpost + 0.5) * jnp.log(b_new)
+                 - b_new * cpost * (ib0 + 0.5 * kqk) - 0.5 * tr
+                 - 0.5 * jnp.sum((mt - vt) ** 2, axis=0)
+                 - 0.5 * jnp.sum(1.0 / denom, axis=0))
+            conv_new = detector.test(conv, f)
+
+            # freeze lanes that were done before this iteration
+            fro = conv.done
+            sel = lambda n, o: jnp.where(fro, o, n)  # noqa: E731
+            conv_m = jax.tree_util.tree_map(sel, conv_new, conv)
+            return (it + 1, sel(s_new, cur_s), sel(b_new, cur_b),
+                    sel(g, gen_s), is_init & fro,
+                    sel(bg_n, bg), sel(bb_n, bb), sel(bi_n, bi), conv_m)
+
+        (_, cur_s, cur_b, gen_s, is_init, bg, bb, bi,
+         conv) = jax.lax.while_loop(cond, body, carry0)
+
+        # post-loop save/revert (engine _finalize,
+        # inference_vb.cc:505-525)
+        bg = jnp.where(conv.save, gen_s, bg)
+        bb = jnp.where(conv.save, cur_b, bb)
+        bi = jnp.where(conv.save, is_init, bi)
+        sel_gen = jnp.where(conv.revert, bg, gen_s)
+        sel_b = jnp.where(conv.revert, bb, cur_b)
+        sel_init = jnp.where(conv.revert, bi, is_init)
+
+        denom = sel_gen[None, :] * lam + 1.0
+        mt = (sel_gen[None, :] * ut + vt) / denom
+        means = ew @ mt
+        cov = jnp.einsum("ik,jk,kv->ijv", ew, ew, 1.0 / denom)
+        prec = (sel_gen[None, None, :] * a[:, :, None]
+                + jnp.eye(p, dtype=dt)[:, :, None] * pp[:, None])
+        return means, prec, cov, sel_b[None, :], sel_init, conv
 
     return run

@@ -23,6 +23,7 @@ TPU-first design notes:
     rather than by list surgery.
 """
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.neighbours import calc_neighbours
-from ..exceptions import InvalidOptionValue
+from ..exceptions import FabberError, InvalidOptionValue
 from ..models.base import (PRIOR_SPATIAL_M, PRIOR_SPATIAL_m,
                            PRIOR_SPATIAL_P, PRIOR_SPATIAL_p)
 from ..options import OptionSpec, OPT_INT, OPT_STR, OPT_BOOL, OPT_FLOAT
@@ -82,14 +83,49 @@ class SpatialVBInference(VBInference):
                        "Neighbour-sum implementation: auto, dense "
                        "(scatter to the 3-D grid + shifted adds) or "
                        "gather (padded index arrays)", default="auto"),
+            OptionSpec("spatial-block-voxels", OPT_INT,
+                       "Beyond-HBM escape: stream the volume through "
+                       "the device in voxel blocks of this size, one "
+                       "block per dispatch per sweep (cross-voxel "
+                       "neighbour sums and the aK reduction run on the "
+                       "host between sweeps — block-sequential IS the "
+                       "Jacobi sweep, results are unchanged). "
+                       "0 = whole volume on device", default="0"),
+            OptionSpec("spatial-mem-gb", OPT_FLOAT,
+                       "Device memory budget for the capacity "
+                       "pre-check, GB (0 = FABBER_TPU_MEM_GB env, else "
+                       "the device HBM size on TPU, else unchecked)",
+                       default="0"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
                  voxel_data_getter=None, dtype=None, data_plane=None,
                  supp_plane=None):
+        # Blocked streaming mode keeps the [T,V] plane on the HOST so
+        # volumes beyond device HBM never materialize there; peeked
+        # before super() because that is where the device plane would
+        # otherwise be created.
+        blocked = options.get_int("spatial-block-voxels", 0, minval=0)
+        if blocked > 0 and data_plane is None and data is not None:
+            data_plane = np.ascontiguousarray(
+                np.asarray(data, np.float32).T)   # host [T,V]
         super().__init__(model, options, data, coords, suppdata,
                          voxel_data_getter, dtype, data_plane=data_plane,
                          supp_plane=supp_plane)
+        self.block_voxels = blocked
+        self.mem_gb = options.get_float("spatial-mem-gb", 0.0)
+        if blocked > 0:
+            if not isinstance(self.data, np.ndarray):
+                raise InvalidOptionValue(
+                    "spatial-block-voxels", str(blocked),
+                    "Blocked sweeps are the single-process beyond-HBM "
+                    "escape; incompatible with pre-sharded device data "
+                    "planes (--distributed shards instead of blocking)")
+            # voxel-local side planes move to the host too: the blocked
+            # runner ships only per-block slices
+            self.coords = np.asarray(self.coords)
+            if self.suppdata is not None:
+                self.suppdata = np.asarray(self.suppdata)
         self.save_fhist = False  # per-iteration history is a voxelwise-mode feature
         if self.num_mcsteps > 0:
             # motion correction is wired for voxelwise VB only; reject
@@ -123,6 +159,11 @@ class SpatialVBInference(VBInference):
         if self.sweep_mode not in ("jacobi", "gauss-seidel"):
             raise InvalidOptionValue("spatial-sweep-mode", self.sweep_mode,
                                      "Must be jacobi or gauss-seidel")
+        if self.block_voxels > 0 and self.sweep_mode != "jacobi":
+            raise InvalidOptionValue(
+                "spatial-block-voxels", str(self.block_voxels),
+                "Blocked sweeps are only exact for the jacobi sweep "
+                "mode (gauss-seidel needs the sequential full volume)")
 
         # method=spatialvb with all-N priors is legal in the reference
         # (the golden outdata_linear_spatialvb run is exactly that): the
@@ -136,6 +177,9 @@ class SpatialVBInference(VBInference):
                                         self.spatial_dims)
         self.neigh = jnp.asarray(neigh)
         self.neigh2 = jnp.asarray(neigh2)
+        # host copies for the blocked runner's between-sweep reductions
+        self._neigh_np = np.asarray(neigh)
+        self._neigh2_np = np.asarray(neigh2)
 
         # Dense-stencil neighbour sums: scatter voxels into the 3-D
         # grid, sum 2*spatial_dims shifted copies, extract — one
@@ -472,8 +516,6 @@ class SpatialVBInference(VBInference):
     def _sweep(self, it, s, bind, stats=None):
         active = ~s.bad
         post = s.post
-        if stats is None:
-            offset_c, jac_c = self._recentre(s.centre, bind)
 
         # aK: updated at sweep start from previous sweep's posteriors
         # (skipped on sweep 0 unless update-first-iteration)
@@ -486,6 +528,17 @@ class SpatialVBInference(VBInference):
         else:
             nsums = []
             ak = s.ak
+        return self._sweep_core(it, s, bind, stats, nsums, ak, active)
+
+    def _sweep_core(self, it, s, bind, stats, nsums, ak, active):
+        """Everything in a sweep AFTER the cross-voxel reductions
+        (neighbour sums + aK): voxel-local prior application, theta and
+        noise updates, free energy, failure excision. Shared by the
+        full-volume sweep and the blocked streaming sweep (which feeds
+        host-computed nsums/ak per voxel block)."""
+        post = s.post
+        if stats is None:
+            offset_c, jac_c = self._recentre(s.centre, bind)
 
         # priors: non-spatial family first (voxel-local, reads only
         # pre-sweep state in both sweep modes), spatial overrides
@@ -558,6 +611,271 @@ class SpatialVBInference(VBInference):
         merged = _lane_where(~newly_bad, merged, s._replace(ak=(), bad=()))
         return merged._replace(ak=ak, bad=bad)
 
+    # -- capacity / blocked streaming (beyond-HBM escape) ------------------
+    def _device_mem_budget(self):
+        """Device memory budget in bytes for the capacity pre-check:
+        --spatial-mem-gb, else FABBER_TPU_MEM_GB, else the TPU HBM
+        size; None (unchecked) on hosts without a hard device limit."""
+        if self.mem_gb > 0:
+            return self.mem_gb * 1e9
+        env = _os.environ.get("FABBER_TPU_MEM_GB")
+        if env:
+            return float(env) * 1e9
+        if jax.default_backend() == "tpu":
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                if stats.get("bytes_limit"):
+                    return float(stats["bytes_limit"])
+            except Exception:
+                pass
+            return 16e9  # v5e HBM
+        return None
+
+    def _estimate_device_bytes(self):
+        """Rough (within ~2x) peak device bytes of the unblocked
+        spatial program: the [T,V] data plane, the double-buffered
+        sweep state, the route's loop temporaries, and the dense
+        stencil grids."""
+        item_s = jnp.dtype(self.store_dtype).itemsize
+        item = jnp.dtype(self.dtype).itemsize
+        p, t, v = self.nparams, self.nt, self.nvoxels
+        state_planes = 3 * p * p + 6 * p + 8
+        per_vox = t * item_s + 2 * state_planes * item
+        if self.use_stats:
+            per_vox += 3 * t * item   # one-time stats reduction
+        else:
+            per_vox += t * (6 if self.design is not None
+                            else 8 * (p + 1)) * item
+        total = per_vox * v
+        if self._dense is not None:
+            xs, ys, zs = self._dense[0], self._dense[1], self._dense[2]
+            total += ((2 + 2 * len(self.spatial_params))
+                      * xs * ys * zs * item)
+        return total
+
+    def _capacity_check(self):
+        budget = self._device_mem_budget()
+        if budget is None:
+            return
+        est = self._estimate_device_bytes()
+        if est > budget:
+            raise FabberError(
+                f"Spatial VB needs ~{est / 1e9:.2f} GB of device memory "
+                f"for {self.nvoxels} voxels x {self.nt} timepoints but "
+                f"the budget is {budget / 1e9:.2f} GB (spatial VB holds "
+                "the whole MRF graph on device). Escapes: "
+                "--spatial-block-voxels=N streams the volume through "
+                "the device in N-voxel blocks on a single chip (exact "
+                "same Jacobi results); --distributed shards voxels "
+                "over multiple chips; --dtype=bf16 halves the data "
+                "plane. If the budget is wrong, set --spatial-mem-gb "
+                "or FABBER_TPU_MEM_GB.")
+
+    # host twins of the cross-voxel reductions (numpy, between sweeps)
+    def _np_gather_sum(self, values, idx, active):
+        valid = idx >= 0
+        safe = np.maximum(idx, 0)
+        w = (valid & active[safe]).astype(values.dtype)
+        return (values[safe] * w).sum(1), w.sum(1)
+
+    def _np_neighbour_sums(self, means, active):
+        """Host twin of _neighbour_sums (gather formulation):
+        means [P,V] numpy, active [V] bool."""
+        out = []
+        for slot, (k, tcode) in enumerate(self.spatial_params):
+            nsum, nn = self._np_gather_sum(means[k], self._neigh_np,
+                                           active)
+            if tcode in (PRIOR_SPATIAL_P, PRIOR_SPATIAL_p):
+                nsum2, nn2 = self._np_gather_sum(
+                    means[k], self._neigh2_np, active)
+                out.append((nsum, nn, nsum2, nn2))
+            else:
+                out.append((nsum, nn, (), ()))
+        return out
+
+    def _np_calculate_ak(self, post_h, active, nsums):
+        """Host twin of _calculate_ak (f64 accumulation)."""
+        sd = self.spatial_dims
+        actf = active.astype(np.float64)
+        nv = active.shape[0]
+        aks = []
+        for slot, (k, tcode) in enumerate(self.spatial_params):
+            sigma_k = np.asarray(post_h.cov[k, k, :nv], np.float64)
+            w_k = np.asarray(post_h.means[k, :nv], np.float64)
+            nsum = np.asarray(nsums[slot][0], np.float64)
+            nn = np.asarray(nsums[slot][1], np.float64)
+            if tcode == PRIOR_SPATIAL_m:
+                trace_w = np.full_like(sigma_k, sd * 2)
+            elif tcode == PRIOR_SPATIAL_M:
+                trace_w = nn + MRF_JITTER
+            elif tcode == PRIOR_SPATIAL_p:
+                trace_w = np.full_like(sigma_k, 4 * sd * sd + 2 * sd)
+            else:  # P
+                trace_w = nn * nn + nn
+            trace_term = float(np.sum(sigma_k * trace_w * actf))
+            swk = nn * w_k - nsum
+            if tcode in (PRIOR_SPATIAL_p, PRIOR_SPATIAL_m):
+                swk = swk + w_k * (sd * 2 - nn)
+            if tcode in (PRIOR_SPATIAL_m, PRIOR_SPATIAL_M):
+                term2 = float(np.sum(swk * w_k * actf))
+            else:
+                term2 = float(np.sum(swk * swk * actf))
+            gk = 1.0 / (0.5 * trace_term + 0.5 * term2 + 1.0 / self.q1)
+            hk = self.ak_nvoxels * 0.5 + self.q2
+            ak = max(gk * hk, AK_FLOOR)
+            if self.spatial_speed > 0:
+                ak = min(ak, max(ak * self.spatial_speed, 0.5))
+            aks.append(ak)
+        return np.asarray(aks, np.float64)
+
+    def _compiled_block_step(self):
+        """Jitted voxel-local part of one sweep for ONE voxel block
+        (nsums/ak computed on the host between sweeps)."""
+        use_stats = self.use_stats
+
+        @jax.jit
+        def step(it, s, bind, nsums, stats):
+            active = ~s.bad
+            return self._sweep_core(it, s, bind,
+                                    stats if use_stats else None,
+                                    nsums, s.ak, active)
+        return step
+
+    def _run_blocked(self, continue_means=None, continue_cov=None,
+                     continue_noise=None):
+        """Beyond-HBM streaming run: the volume lives on the HOST; each
+        sweep ships voxel blocks through the device one dispatch at a
+        time. Because the Jacobi sweep reads only the PREVIOUS sweep's
+        posterior means across voxels (through nsums, computed on the
+        host between sweeps), block-sequential execution IS the Jacobi
+        sweep — results match the unblocked run to roundoff.
+
+        Reference semantics preserved: priors.cc:346-488 (spatial
+        priors), inference_vb.cc:578-767 (sweep structure)."""
+        from .vb import RunBindings
+
+        vbk = self.block_voxels
+        nv = self.nvoxels
+        nblocks = -(-nv // vbk)
+        blocks = [(b * vbk, min((b + 1) * vbk, nv))
+                  for b in range(nblocks)]
+        tree_map = jax.tree_util.tree_map
+
+        def pad_b(x, width):
+            x = np.asarray(x)
+            if width == 0:
+                return x
+            return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, width)],
+                          mode="edge")
+
+        # initial state, built per block, assembled on the host
+        self._ensure_noise_prior()
+        post_bs, centre_bs, f_bs = [], [], []
+        for lo, hi in blocks:
+            st = self.initial_state(continue_means, continue_cov,
+                                    continue_noise, lo=lo, hi=hi)
+            post_bs.append(tree_map(np.asarray, st.post))
+            centre_bs.append(np.asarray(st.centre))
+            f_bs.append(np.asarray(st.f))
+        vpad = nblocks * vbk
+        post_h = tree_map(
+            lambda *xs: pad_b(np.concatenate(xs, -1), vpad - nv),
+            *post_bs)
+        centre_h = pad_b(np.concatenate(centre_bs, -1), vpad - nv)
+        f_h = pad_b(np.concatenate(f_bs, -1), vpad - nv)
+        bad_h = np.zeros(vpad, bool)
+        bad_h[nv:] = True  # padding lanes are frozen from the start
+        if self._pre_excised is not None:
+            bad_h[:nv] |= np.asarray(self._pre_excised)
+        ak_h = np.full(len(self.spatial_params), AK_INIT, np.float64)
+
+        # per-block bindings (host numpy; shipped per dispatch). On the
+        # stats route the [T,Vb] data block is reduced ONCE here and
+        # never shipped again.
+        design = self.design if self.design is not None else ()
+        base = np.asarray(self.prior_setup.base_means)
+        stats_bs = []
+        binds = []
+        if self.use_stats:
+            mkstats = jax.jit(
+                lambda d: self.noise.make_design_stats(self.design, d))
+        for lo, hi in blocks:
+            bpad = vbk - (hi - lo)
+
+            def pb(x):
+                return pad_b(np.asarray(x)[..., lo:hi], bpad)
+
+            data_b = pb(self.data)
+            if self.use_stats:
+                stats_bs.append(tree_map(np.asarray, mkstats(data_b)))
+                data_b = np.zeros((0, vbk), np.float32)
+            binds.append(RunBindings(
+                data=data_b, coords=pb(self.coords),
+                supp=pb(self.suppdata) if self.suppdata is not None
+                else np.zeros((0, vbk), np.float32),
+                prior_base_means=pb(base) if base.shape[-1] == nv
+                else base,
+                design=design,
+                locked_centres=pb(self._locked_centres)
+                if self._locked_centres is not None else (),
+                fused_data=()))
+
+        step = self._compiled_block_step()
+        report = getattr(self, "progress_cb", None)
+        for it in range(self.max_its):
+            active = ~bad_h[:nv]
+            if self.spatial_params:
+                nsums = self._np_neighbour_sums(post_h.means[:, :nv],
+                                                active)
+                if it > 0 or self.update_first_iter:
+                    ak_h = self._np_calculate_ak(post_h, active, nsums)
+                nsums_pad = [
+                    tuple(pad_b(x, vpad - nv)
+                          if isinstance(x, np.ndarray) else ()
+                          for x in tup) for tup in nsums]
+            else:
+                nsums_pad = []
+            ak_dev = np.asarray(ak_h, jnp.dtype(self.dtype))
+
+            for bi, (lo, hi) in enumerate(blocks):
+                sl = slice(bi * vbk, (bi + 1) * vbk)
+                s_b = SpatialState(
+                    post=tree_map(lambda x: x[..., sl], post_h),
+                    centre=centre_h[:, sl], f=f_h[sl], ak=ak_dev,
+                    bad=bad_h[sl])
+                nsums_b = [tuple(x[sl] if isinstance(x, np.ndarray)
+                                 else () for x in tup)
+                           for tup in nsums_pad]
+                out = step(jnp.int32(it), s_b, binds[bi], nsums_b,
+                           stats_bs[bi] if self.use_stats else ())
+                out = tree_map(np.asarray, out)
+                tree_map(lambda dst, src: dst.__setitem__(
+                    (Ellipsis, sl), src), post_h, out.post)
+                centre_h[:, sl] = out.centre
+                f_h[sl] = out.f
+                bad_h[sl] = out.bad
+            if report is not None:
+                report((it + 1) * nv // self.max_its, nv)
+
+        self.final_ak = np.asarray(ak_h, jnp.dtype(self.dtype))
+        p = self.nparams
+        diag = post_h.cov[np.arange(p), np.arange(p)][:, :nv]
+        gamma = 1.0 - diag * post_h.prior_prec[:, :nv]
+        gamma = np.where(bad_h[None, :nv] | ~np.isfinite(gamma),
+                         0.0, gamma)
+        self.coefficient_resels = gamma.sum(1) / self.ak_nvoxels
+
+        conv = self.detector.init_state(nv, self.dtype)
+        trimmed = tree_map(lambda x: x[..., :nv], post_h)
+        final = VBLoopState(
+            it=np.int32(self.max_its), post=trimmed,
+            centre=centre_h[:, :nv], f=f_h[:nv],
+            fprior=np.zeros(nv, jnp.dtype(self.dtype)),
+            conv=conv._replace(its=np.full(nv, self.max_its, np.int32)),
+            best=trimmed, fhist=())
+        result = self._to_result(final, None)
+        return result._replace(bad_voxels=result.bad_voxels | bad_h[:nv])
+
     # -- driver -----------------------------------------------------------
     def compiled_sweeps(self):
         """The full jitted spatial computation: state -> final state."""
@@ -585,6 +903,10 @@ class SpatialVBInference(VBInference):
         return loop
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
+        if self.block_voxels > 0:
+            return self._run_blocked(continue_means, continue_cov,
+                                     continue_noise)
+        self._capacity_check()
         base = self.initial_state(continue_means, continue_cov,
                                   continue_noise)
         bad0 = jnp.zeros(self.nvoxels, bool) if self._pre_excised is None \

@@ -213,6 +213,11 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
 # and centre displacement, voxels) pass through unresampled
 IDENTITY_TOL = 1e-2
 
+# capture range of the single-resolution Gauss-Newton registration
+# (see module docstring); estimates approaching it mean real motion may
+# exceed it and be silently under-corrected — callers warn at 75%
+CAPTURE_RANGE_VOXELS = 2.0
+
 
 def register_timeseries(data, pred, coords, shape, dof=6, n_iters=10,
                         reg=None):

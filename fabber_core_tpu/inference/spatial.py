@@ -51,6 +51,7 @@ class SpatialState(NamedTuple):
     ak: jnp.ndarray   # [n_spatial_params]
     bad: jnp.ndarray  # [V] bool — excised voxels
     # linearization is recomputed from `centre` each sweep, not carried
+    its: jnp.ndarray = ()  # sweeps executed; set by the loop driver
 
 
 class SpatialVBInference(VBInference):
@@ -95,6 +96,15 @@ class SpatialVBInference(VBInference):
                        "Device memory budget for the capacity "
                        "pre-check, GB (0 = FABBER_TPU_MEM_GB env, else "
                        "the device HBM size on TPU, else unchecked)",
+                       default="0"),
+            OptionSpec("spatial-fchange", OPT_FLOAT,
+                       "Stop sweeping early once the absolute change "
+                       "of the global free energy (sum of F over "
+                       "non-excised voxels) between sweeps drops below "
+                       "this. 0 = reference-faithful blind "
+                       "max-iterations count (the reference's counting "
+                       "detector ignores its Fglobal argument, "
+                       "convergence.cc CountingConvergenceDetector)",
                        default="0"),
         ]
 
@@ -150,7 +160,11 @@ class SpatialVBInference(VBInference):
                 "convergence", conv_name,
                 "Spatial VB supports only the maxits detector (the "
                 "reference hardcodes a counting detector for the "
-                "spatial loop)")
+                "spatial loop); for an Fglobal-based early stop use "
+                "--spatial-fchange")
+        self.f_stop_tol = options.get_float("spatial-fchange", 0.0)
+        if self.f_stop_tol > 0:
+            self.need_f = True  # the early stop tests sum-of-F
         # voxel count entering the aK shape term hK (priors.cc:302);
         # a padded sharded run sets this to the REAL voxel count so
         # padding lanes (pre-excised) don't alter the Penny update
@@ -822,6 +836,8 @@ class SpatialVBInference(VBInference):
 
         step = self._compiled_block_step()
         report = getattr(self, "progress_cb", None)
+        fg_prev = None
+        nswept = self.max_its
         for it in range(self.max_its):
             active = ~bad_h[:nv]
             if self.spatial_params:
@@ -856,6 +872,15 @@ class SpatialVBInference(VBInference):
                 bad_h[sl] = out.bad
             if report is not None:
                 report((it + 1) * nv // self.max_its, nv)
+            if self.f_stop_tol > 0:
+                fm = np.where(bad_h[:nv] | ~np.isfinite(f_h[:nv]),
+                              0.0, f_h[:nv])
+                fg = float(np.sum(fm, dtype=np.float32))
+                if fg_prev is not None \
+                        and abs(fg - fg_prev) <= self.f_stop_tol:
+                    nswept = it + 1
+                    break
+                fg_prev = fg
 
         self.final_ak = np.asarray(ak_h, jnp.dtype(self.dtype))
         p = self.nparams
@@ -868,10 +893,10 @@ class SpatialVBInference(VBInference):
         conv = self.detector.init_state(nv, self.dtype)
         trimmed = tree_map(lambda x: x[..., :nv], post_h)
         final = VBLoopState(
-            it=np.int32(self.max_its), post=trimmed,
+            it=np.int32(nswept), post=trimmed,
             centre=centre_h[:, :nv], f=f_h[:nv],
             fprior=np.zeros(nv, jnp.dtype(self.dtype)),
-            conv=conv._replace(its=np.full(nv, self.max_its, np.int32)),
+            conv=conv._replace(its=np.full(nv, nswept, np.int32)),
             best=trimmed, fhist=())
         result = self._to_result(final, None)
         return result._replace(bad_voxels=result.bad_voxels | bad_h[:nv])
@@ -888,6 +913,8 @@ class SpatialVBInference(VBInference):
             # is registered, so the bench path pays nothing
             report(int(i) * nvox // max_its, nvox)
 
+        fstop = float(self.f_stop_tol)
+
         @jax.jit
         def loop(s, bind):
             stats = self.noise.make_design_stats(bind.design, bind.data) \
@@ -899,7 +926,33 @@ class SpatialVBInference(VBInference):
                     jax.debug.callback(report_sweep, i + 1)
                 return st
 
-            return jax.lax.fori_loop(0, max_its, body, s)
+            if fstop <= 0:
+                out = jax.lax.fori_loop(0, max_its, body, s)
+                return out._replace(
+                    its=jnp.array(max_its, jnp.int32))
+
+            # optional Fglobal early stop (--spatial-fchange): stop
+            # when |sum_v F| changes less than the tolerance between
+            # sweeps. Beyond the reference, whose counting detector
+            # ignores Fglobal (convergence.cc).
+            def fglobal(st):
+                f = jnp.where(st.bad | ~jnp.isfinite(st.f), 0.0, st.f)
+                return jnp.sum(f)
+
+            def cond(c):
+                i, df, _, _ = c
+                return (i < max_its) & (df > fstop)
+
+            def wbody(c):
+                i, _, fg, st = c
+                st2 = body(i, st)
+                fg2 = fglobal(st2)
+                return (i + 1, jnp.abs(fg2 - fg), fg2, st2)
+
+            carry0 = (jnp.int32(0), jnp.array(jnp.inf, self.dtype),
+                      fglobal(s), s)
+            i, _, _, out = jax.lax.while_loop(cond, wbody, carry0)
+            return out._replace(its=i)
         return loop
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
@@ -918,6 +971,7 @@ class SpatialVBInference(VBInference):
 
         s = self.compiled_sweeps()(s0, self._bind())
         self.final_ak = np.asarray(s.ak)
+        nswept = int(np.asarray(s.its))
 
         # "Coefficient resels" diagnostic, Penny 2005
         # (inference_vb.cc:727-756): per parameter the mean over voxels
@@ -930,10 +984,10 @@ class SpatialVBInference(VBInference):
         # wrap into the VBLoopState shape expected by _to_result
         conv = self.detector.init_state(self.nvoxels, self.dtype)
         final = VBLoopState(
-            it=jnp.array(self.max_its, jnp.int32), post=s.post,
+            it=jnp.array(nswept, jnp.int32), post=s.post,
             centre=s.centre, f=s.f,
             fprior=jnp.zeros(self.nvoxels, self.dtype),
-            conv=conv._replace(its=jnp.full(self.nvoxels, self.max_its,
+            conv=conv._replace(its=jnp.full(self.nvoxels, nswept,
                                             jnp.int32)),
             best=s.post, fhist=())
         result = self._to_result(final, None)

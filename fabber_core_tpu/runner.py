@@ -92,6 +92,13 @@ def run(options, store, log=None, progress_cb=None):
         for k, val in enumerate(mc_shifts):
             log.log(f"Motion correction step {k + 1}/{len(mc_shifts)}: "
                     f"max |translation| {val:.4f} voxels")
+        if getattr(engine, "mc_saturated", False):
+            log.warn(
+                "Motion correction estimated displacements near its "
+                "capture range (+-2 voxels, single-resolution "
+                "Gauss-Newton): true subject motion may exceed it and "
+                "be under-corrected. Pre-register the data externally "
+                "if large motion is expected.")
 
     resels = getattr(engine, "coefficient_resels", None)
     if resels is not None:

@@ -102,6 +102,30 @@ def test_vb_motion_correction_improves_fit():
     # median gauge anchoring: the recorded max translation is the full
     # relative displacement of the moved volumes (~1.2 voxels)
     assert 0.9 < eng2.mc_translations[0] < 1.5
+    # 1.2 voxels is comfortably inside the +-2 voxel capture range
+    assert not eng2.mc_saturated
+
+
+def test_vb_motion_saturation_flagged():
+    """Estimated displacement near the capture range sets the
+    saturation flag (real motion may exceed it; the runner warns)."""
+    rng = np.random.default_rng(11)
+    coords = _full_coords(SHAPE)
+    nv, nt = coords.shape[0], 12
+    centre = np.array([7.5, 7.5, 3.5])
+    shifts = np.zeros((nt, 3))
+    shifts[9:, 0] = 1.8   # near the +-2 voxel capture range
+    data = np.empty((nv, nt))
+    for k in range(nt):
+        data[:, k] = 1.0 + _blob(coords, centre + shifts[k], sigma=4.0)
+    data += 0.02 * rng.standard_normal(data.shape)
+    opts = RunOptions({"model": "poly", "degree": "0",
+                       "noise": "white", "max-iterations": "5",
+                       "mcsteps": "1"})
+    eng = VBInference(get_model_class("poly")(opts), opts, data, coords)
+    eng.run()
+    assert eng.mc_translations[0] >= 1.5
+    assert eng.mc_saturated
 
 
 def test_register_timeseries_identity_is_noop():

@@ -137,6 +137,33 @@ def test_capacity_precheck_raises_with_escapes_named():
     assert r.bad_voxels.sum() == 0
 
 
+def test_spatial_fchange_early_stop():
+    """--spatial-fchange stops sweeping when the global F change drops
+    below the tolerance (an opt-in beyond the reference, whose counting
+    detector ignores Fglobal); the blocked runner agrees on the sweep
+    count and the results."""
+    coords = grid_coords(8, 6, 1)
+    data = make_data(len(coords), 14, coords, noise=0.02)
+    opts = {**BASE, "param-spatial-priors": "MN",
+            "max-iterations": "30", "spatial-fchange": "0.05"}
+    e1 = build(opts, data, coords)
+    r1 = e1.run()
+    assert r1.iterations[0] < 30          # early stop engaged
+    assert (r1.iterations == r1.iterations[0]).all()
+
+    # blind-count run for reference: the early-stopped posterior is
+    # already converged to well within the F tolerance
+    r_full = build({**opts, "spatial-fchange": "0"}, data, coords).run()
+    assert (r_full.iterations == 30).all()
+    np.testing.assert_allclose(r1.means, r_full.means,
+                               rtol=1e-3, atol=1e-4)
+
+    e2 = build({**opts, "spatial-block-voxels": "13"}, data, coords)
+    r2 = e2.run()
+    np.testing.assert_array_equal(r2.iterations, r1.iterations)
+    np.testing.assert_allclose(r2.means, r1.means, rtol=2e-4, atol=1e-5)
+
+
 def test_blocked_rejects_gauss_seidel():
     coords = grid_coords(4, 3, 1)
     data = make_data(len(coords), 8, coords)

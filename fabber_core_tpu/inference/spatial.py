@@ -899,7 +899,11 @@ class SpatialVBInference(VBInference):
             conv=conv._replace(its=np.full(nv, nswept, np.int32)),
             best=trimmed, fhist=())
         result = self._to_result(final, None)
-        return result._replace(bad_voxels=result.bad_voxels | bad_h[:nv])
+        result = result._replace(
+            bad_voxels=result.bad_voxels | bad_h[:nv])
+        if self.options.get_bool("spatial-prior-output-correction"):
+            result = self.compute_noprior(result)
+        return result
 
     # -- driver -----------------------------------------------------------
     def compiled_sweeps(self):
@@ -994,4 +998,6 @@ class SpatialVBInference(VBInference):
         # mark excised voxels bad in the result
         result = result._replace(
             bad_voxels=result.bad_voxels | self._fetch(s.bad))
+        if self.options.get_bool("spatial-prior-output-correction"):
+            result = self.compute_noprior(result)
         return result

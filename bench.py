@@ -123,9 +123,15 @@ def build_engine(config, nv):
 
 NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
              "ar1": "T=106, P=3 + AR(1)", "spatial": "T=50, P=1 + MRF"}
-# every config runs the full FABBER_BENCH_VOXELS budget: the driver
-# artifact and the documented perf record are the same numbers
-CONFIG_SCALE = {"poly": 1.0, "biexp": 1.0, "ar1": 1.0, "spatial": 1.0}
+# Per-config voxel budget as a multiple of FABBER_BENCH_VOXELS. The
+# fixed-design fast tiers (poly spectral / spatial stencil) are
+# tunnel-RTT-bound at 4M voxels (~2-4ms device time in a ~50ms wall),
+# so they run 2x the budget to amortize the dispatch round trip —
+# measured 82M -> 102M voxels/s at 4M -> 8M; 12M exceeds the single-
+# dispatch HBM envelope. The kernel-bound configs (biexp/ar1) run the
+# plain budget. The stderr line and the utilization fields state each
+# config's actual voxel count; docs quote these same numbers.
+CONFIG_SCALE = {"poly": 2.0, "biexp": 1.0, "ar1": 1.0, "spatial": 2.0}
 
 # v5e single-chip ceilings (public spec): 197 TFLOP/s bf16 MXU,
 # ~1/4 of that for f32; 819 GB/s HBM. The utilization fields quantify

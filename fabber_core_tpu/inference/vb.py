@@ -458,13 +458,17 @@ class VBInference:
         # iteration-invariant-prior gates as the fixed-design loop
         # kernel above.
         nl_eligible = self._ts_eligible and self.design is None
+        # pointzeroone runs IN-KERNEL (ops/fused_loop_nl.py module
+        # docstring): the fchange lane state machine on VMEM-resident
+        # per-lane F, iteration counts matching the XLA route
+        self.nl_fdet = type(self.detector).name == "pointzeroone"
         if nl_eligible:
             from ..ops.fused_loop_nl import pick_nl_block
             from ..ops.fused_vb import pad_time
             nl_eligible = (
                 kernel_mode in ("auto", "pallas-loop")
                 and options.get_string("continue-from-mvn", "") == ""
-                and type(self.detector).name == "maxits"
+                and type(self.detector).name in ("maxits", "pointzeroone")
                 and not self.is_lm
                 and int(self.detector.max_iterations) >= 1
                 and not self.save_fhist
@@ -473,7 +477,8 @@ class VBInference:
                 and options.get_string("noise-initial-posterior",
                                        "modeldefault") == "modeldefault"
                 and pick_nl_block(1024, self.nparams, pad_time(self.nt),
-                                  self.noise.nphis) is not None)
+                                  self.noise.nphis, self.nl_fdet)
+                is not None)
         if kernel_mode == "pallas-loop":
             self.use_nl_loop = nl_eligible
             self.nl_interpret = jax.default_backend() != "tpu"
@@ -918,12 +923,13 @@ class VBInference:
         p = self.nparams
         tp = pad_time(self.nt)
         transforms = [pm_.transform for pm_ in self.params]
+        det = self._nl_fdet_consts(n_iters) if self.nl_fdet else None
 
         def run_local(centre0, pm, pp, fdata, consts):
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
             nv = centre0.shape[-1]
-            block, pad = pick_nl_block(nv, p, tp, nq)
+            block, pad = pick_nl_block(nv, p, tp, nq, self.nl_fdet)
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -937,7 +943,8 @@ class VBInference:
                 locked_noise_stdev=self.noise.locked_noise_stdev,
                 block=block, interpret=self.nl_interpret,
                 time_signal_jac=getattr(self.model, "time_signal_jac",
-                                        None))
+                                        None),
+                detector=det)
             outs = fused(pad_v(centre0), pad_v(pm), pad_v(pp),
                          pad_v(fdata), consts)
             if pad:
@@ -970,25 +977,72 @@ class VBInference:
             noise_post = WhiteNoiseState(nb, nc)
             post = PosteriorState(means, prec, cov, prior_means,
                                   prior_prec, noise_post)
-            if self.need_f:
-                # fprior is zero for the (non-ARD, non-spatial) priors
-                # this route admits; final F from the in-kernel
-                # quadratics at the final means
-                f = self.noise.free_energy_from_parts(
-                    noise_post, self.noise_prior, means, prec, cov,
-                    prior_means, prior_prec,
-                    [fkqk[i] for i in range(nq)],
-                    [ftr[i] for i in range(nq)])
+            if self.nl_fdet:
+                # fkqk/ftr slots carry the in-kernel per-lane F and
+                # iteration counts (fprior zero for the priors this
+                # route admits)
+                f = fkqk[0]
+                conv = s.conv._replace(
+                    its=ftr[0].astype(jnp.int32), prev_f=f,
+                    done=jnp.ones(nv, bool))
             else:
-                f = s.f
-            conv = s.conv._replace(
-                its=jnp.full(nv, n_iters, jnp.int32),
-                done=jnp.ones(nv, bool))
+                if self.need_f:
+                    # fprior is zero for the (non-ARD, non-spatial)
+                    # priors this route admits; final F from the
+                    # in-kernel quadratics at the final means
+                    f = self.noise.free_energy_from_parts(
+                        noise_post, self.noise_prior, means, prec, cov,
+                        prior_means, prior_prec,
+                        [fkqk[i] for i in range(nq)],
+                        [ftr[i] for i in range(nq)])
+                else:
+                    f = s.f
+                conv = s.conv._replace(
+                    its=jnp.full(nv, n_iters, jnp.int32),
+                    done=jnp.ones(nv, bool))
             out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
                              centre=means, f=f, conv=conv)
             return out, None
 
         return loop
+
+    def _nl_fdet_consts(self, max_its):
+        """Host-side constants for the in-kernel pointzeroone detector
+        (ops/fused_loop_nl.py): the voxel-invariant pieces of the white
+        ELBO with the noise shape fixed at c_post (constant from the
+        first update on; see free_energy_from_parts,
+        noisemodel_white.cc:365-454). With c = (n-1)/2 + c0 the
+        digamma coefficient collapses to 1/2 per group and log(b)'s to
+        n/2 + c0."""
+        import math
+
+        def _dgamma(x):
+            # digamma by recurrence + asymptotic (Bernoulli) series;
+            # f64-exact far beyond the kernel's f32 assembly
+            r = 0.0
+            while x < 6.0:
+                r -= 1.0 / x
+                x += 1.0
+            inv2 = 1.0 / (x * x)
+            return (r + math.log(x) - 0.5 / x
+                    - inv2 * (1 / 12 - inv2 * (1 / 120 - inv2
+                                               * (1 / 252 - inv2 / 240))))
+
+        nq = self.noise.nphis
+        b0 = np.asarray(self.noise_prior.b, float).reshape(nq)
+        c0 = np.asarray(self.noise_prior.c, float).reshape(nq)
+        lb_coeff, f_const = [], 0.5 * self.nparams \
+            - 0.5 * self.noise.n_unmasked * math.log(2 * math.pi)
+        for q in range(nq):
+            n_q = float(self.noise.ntimes_per_group[q])
+            c_post = (n_q - 1.0) * 0.5 + c0[q]
+            lb_coeff.append(n_q * 0.5 + c0[q])
+            f_const += (math.lgamma(c_post) + c_post
+                        + 0.5 * _dgamma(c_post)
+                        - math.lgamma(c0[q]) - c0[q] * math.log(b0[q]))
+        return {"tol": float(self.detector.min_fchange),
+                "max_its": int(max_its),
+                "lb_coeff": lb_coeff, "f_const": f_const}
 
     def _compiled_loop_kernel_ar(self):
         """AR(1) whole-loop Pallas route (ops/fused_loop_ar.py):

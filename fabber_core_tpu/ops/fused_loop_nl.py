@@ -35,12 +35,27 @@ free-energy quadratics; the digamma/gammaln ELBO assembly stays
 outside, noise/white.py free_energy_from_parts).
 
 Eligibility (gated by the engine, inference/vb.py): white noise,
-time-local model, maxits detector (static trip count, no save/revert,
-no LM damping), iteration-invariant priors (non-ARD, non-spatial),
-model-default noise initialization, float32, no per-iteration F
-history. Results match the per-iteration fused kernel and the XLA
-generic-Jacobian route to float32 roundoff
+time-local model, maxits or pointzeroone detector (static trip count,
+no save/revert, no LM damping), iteration-invariant priors (non-ARD,
+non-spatial), model-default noise initialization, float32, no
+per-iteration F history. Results match the per-iteration fused kernel
+and the XLA generic-Jacobian route to float32 roundoff
 (tests/test_fused_loop_nl.py pins this).
+
+pointzeroone IN-KERNEL (detector= argument): the fchange lane state
+machine (convergence.cc:86-103 semantics, inference/convergence.py
+FchangeDetector) runs on VMEM-resident per-lane state. The free
+energy needs no extra model pass: iteration k's evaluation at its
+linearization centre (== iteration k-1's means) yields exactly the
+k'Q_ik and tr(J'Q_iJ Sigma) quadratics of iteration k-1's F, so each
+in-loop test assembles F from the CURRENT pass's quadratics plus the
+carried posterior (the ELBO assembly of noise/white.py
+free_energy_from_parts with the Gamma-function terms folded into
+host-side constants — the noise shape c is the constant c_post from
+the first update on). Lanes freeze by arithmetic masking: frozen
+lanes keep recomputing but never commit. The final iteration's test
+runs after the loop on the (already present) F pass at the final
+means. Trip count stays static at max-iterations.
 """
 
 import jax
@@ -55,24 +70,26 @@ from .fused_loop import VMEM_BUDGET
 DEFAULT_BLOCK = 1024
 
 
-def n_nl_loop_rows(p, tp, nq):
+def n_nl_loop_rows(p, tp, nq, fdet=False):
     """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
 
     Counts the double-buffered data input, the double-buffered small
     ins/outs, the iteration-loop carry, the model-eval live rows and
     the [TB,B] partial-sum planes (J'QJ tri + J'Qr + r'Qr per group)
     carried across the time loop. No J/r scratch: the phi update's
-    k'Qk expands into these quadratics."""
+    k'Qk expands into these quadratics. fdet adds the detector lanes
+    (f, prev_f, done, its, logdet) plus the F-assembly temporaries."""
     ntri = p * (p + 1) // 2
     data_in = 2 * tp                            # pipelined in buffers
     small_io = 2 * (3 * p) + 2 * (p + 2 * p * p + 4 * nq)
     carry = p + 2 * nq + 2 * ntri
     eval_live = 3 * TB * (p + 1)                # sig/jac rows + temps
     time_partials = TB * nq * (ntri + p + 1)
-    return data_in + small_io + carry + eval_live + time_partials
+    return (data_in + small_io + carry + eval_live + time_partials
+            + (10 if fdet else 0))
 
 
-def pick_nl_block(nvoxels, p, tp, nq):
+def pick_nl_block(nvoxels, p, tp, nq, fdet=False):
     """Largest voxel tile whose estimated footprint fits VMEM_BUDGET;
     (block, pad) or None when even the smallest tile doesn't fit
     (caller falls back to the XLA route).
@@ -83,7 +100,7 @@ def pick_nl_block(nvoxels, p, tp, nq):
     1-vreg planes, ~8k grid steps, 1/8 lane utilization per op —
     costing ~2x end-to-end, while edge padding is O(block) wasted
     voxels out of millions."""
-    rows = n_nl_loop_rows(p, tp, nq)
+    rows = n_nl_loop_rows(p, tp, nq, fdet)
     for bb in (2048, 1024, 512, 256, 128):
         if rows * bb * 4 <= VMEM_BUDGET:
             return bb, (-nvoxels) % bb
@@ -93,7 +110,8 @@ def pick_nl_block(nvoxels, p, tp, nq):
 def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                        nvoxels, dtype, need_f, qmasks,
                        locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
-                       interpret=False, time_signal_jac=None):
+                       interpret=False, time_signal_jac=None,
+                       detector=None):
     """Build the whole-loop callable.
 
     Returns fn(centre0 [P,V], prior_means [P,V], prior_prec [P,V],
@@ -104,6 +122,21 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     consts packs, in order: 1/b0 [Q], c_post = (ntimes_i-1)/2 + c0 [Q],
     b_init [Q], c_init [Q] (see pack_nl_consts). fkqk/ftr are the
     free-energy quadratics at the final means (zeros if not need_f).
+
+    detector (optional) engages the in-kernel pointzeroone state
+    machine (module docstring): a dict with
+      tol       min-fchange threshold,
+      max_its   the detector's max-iterations (== n_iters),
+      lb_coeff  per-group coefficient of log(b) in the ELBO,
+                n_i/2 + c0_i,
+      f_const   every voxel-invariant ELBO term (Gamma functions of
+                the constant c_post, prior normalizers, 2*pi powers),
+    all Python scalars (see VBInference._nl_fdet_consts, which derives
+    them from noise/white.py free_energy_from_parts with c = c_post).
+    The last two outputs then become f [1,V] (per-lane final free
+    energy, fprior excluded — zero for the priors this route admits)
+    and its [1,V] (per-lane iteration counts, FchangeDetector
+    semantics: not incremented on the converging test).
     """
     p = nparams
     tri = _tri(p)
@@ -198,8 +231,37 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         zero_tb = jnp.zeros((TB, b), dtype)
         zero_1b = jnp.zeros((1, b), dtype)
 
-        def iteration(_, carry):
-            centre, bq, cq, _prec, _cov = carry
+        if detector is not None:
+            d_tol = dtype(detector["tol"])
+            d_max = dtype(float(detector["max_its"]))
+            lbc = [dtype(detector["lb_coeff"][q]) for q in range(nq)]
+            # voxel-varying but iteration-invariant ELBO piece: the
+            # prior log-normalizer, plus every constant term
+            part3vox = dtype(detector["f_const"]) * ones
+            for i in range(p):
+                part3vox = part3vox + 0.5 * jnp.log(pp[i])
+
+            def assemble_f(cen, bqv, cqv, covdiag, logdet, kqk, trace):
+                """free_energy_from_parts with c = c_post constant
+                (noisemodel_white.cc:365-454); Gamma-function terms
+                live in part3vox/lbc host-side constants."""
+                v = part3vox - 0.5 * logdet
+                for q in range(nq):
+                    phi_q = bqv[q] * cqv[q]
+                    v = (v + lbc[q] * jnp.log(bqv[q])
+                         - phi_q * inv_b0[q]
+                         - 0.5 * phi_q * kqk[q] - 0.5 * trace[q])
+                for i in range(p):
+                    dm = cen[i] - pm[i]
+                    v = v - 0.5 * (dm * dm + covdiag[i]) * pp[i]
+                return v
+
+        def iteration(it_k, carry):
+            if detector is not None:
+                (centre, bq, cq, prev_prec, prev_cov,
+                 f_st, pf, dn, its, logdet) = carry
+            else:
+                centre, bq, cq, _prec, _cov = carry
             phi = [bq[q] * cq[q] for q in range(nq)]
 
             # ---- single pass: per-group J'Q_iJ / J'Q_i r / r'Q_i r at
@@ -240,6 +302,41 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             def at_q(qi, i, j):
                 i, j = max(i, j), min(i, j)
                 return jtjq[qi * ntri + tri.index((i, j))]
+
+            if detector is not None:
+                # ---- deferred detector test for iteration it_k-1: the
+                # pass above evaluated the model AT the previous means
+                # (== centre), so rqrq IS its exact k'Q_ik and jtjq its
+                # J'Q_iJ; assemble F and run the fchange state machine
+                # on lanes not yet frozen (gate skips it_k == 0, whose
+                # pass has no completed iteration behind it) -----------
+                cov_p = {}
+                for k2, (i, j) in enumerate(tri):
+                    cov_p[(i, j)] = prev_cov[k2]
+                    cov_p[(j, i)] = prev_cov[k2]
+                trace_p = []
+                for qi in range(nq):
+                    tr = 0.0
+                    for i in range(p):
+                        for j in range(p):
+                            tr = tr + cov_p[(i, j)] * at_q(qi, i, j)
+                    trace_p.append(tr)
+                f_here = assemble_f(centre, bq, cq,
+                                    [cov_p[(i, i)] for i in range(p)],
+                                    logdet, rqrq, trace_p)
+                gate = jnp.where(it_k >= jnp.int32(1), dtype(1.0),
+                                 dtype(0.0))
+                run = gate * (1.0 - dn)
+                fsmall = jnp.where(jnp.abs(f_here - pf) < d_tol,
+                                   dtype(1.0), dtype(0.0))
+                # FchangeDetector.test: its not incremented on the
+                # converging test; done on fsmall or max-iterations
+                its = its + run * (1.0 - fsmall)
+                over = jnp.where(its >= d_max, dtype(1.0), dtype(0.0))
+                dn = jnp.maximum(dn, run * jnp.maximum(fsmall, over))
+                f_st = f_st + run * (f_here - f_st)
+                pf = pf + run * (f_here - pf)
+                act = 1.0 - dn  # newly frozen lanes skip this update
 
             # ---- solve (update_theta arithmetic, Eq 19/20) ------------
             prec = []
@@ -292,16 +389,46 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 new_b.append(bq_new)
                 new_c.append(cq_new)
 
-            return (tuple(means), tuple(new_b), tuple(new_c),
-                    tuple(prec), tuple(cov[ij] for ij in tri))
+            if detector is None:
+                return (tuple(means), tuple(new_b), tuple(new_c),
+                        tuple(prec), tuple(cov[ij] for ij in tri))
+
+            # frozen lanes keep their state (lane-frozen convergence):
+            # blend every carried plane by the post-test active mask
+            logdet_new = 0.0
+            for i in range(p):
+                logdet_new = logdet_new + 2.0 * jnp.log(
+                    ch[tri.index((i, i))])
+
+            def bl(new, old):
+                return old + act * (new - old)
+
+            return (tuple(bl(means[i], centre[i]) for i in range(p)),
+                    tuple(bl(new_b[q], bq[q]) for q in range(nq)),
+                    tuple(bl(new_c[q], cq[q]) for q in range(nq)),
+                    tuple(bl(prec[k2], prev_prec[k2])
+                          for k2 in range(ntri)),
+                    tuple(bl(cov[ij], prev_cov[k2])
+                          for k2, ij in enumerate(tri)),
+                    f_st, pf, dn, its, bl(logdet_new, logdet))
 
         init = (tuple(centre0_ref[i:i + 1] for i in range(p)),
                 tuple(b_init[q] * ones for q in range(nq)),
                 tuple(c_init[q] * ones for q in range(nq)),
                 tuple(zero_1b for _ in range(ntri)),
                 tuple(zero_1b for _ in range(ntri)))
-        means, bq, cq, prec, cov_t = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_iters), iteration, init)
+        if detector is not None:
+            # prev_f starts at the engine's sentinel (convergence.py
+            # init_state: finfo.min clamp of the reference's -99e99)
+            sent = float(jnp.finfo(jnp.float32).min)
+            init = init + (zero_1b, jnp.full((1, b), sent, dtype),
+                           zero_1b, zero_1b, zero_1b)
+            (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
+             logdet) = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n_iters), iteration, init)
+        else:
+            means, bq, cq, prec, cov_t = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n_iters), iteration, init)
         cov = {}
         for k, (i, j) in enumerate(tri):
             cov[(i, j)] = cov_t[k]
@@ -318,7 +445,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             c_out[q:q + 1] = cq[q]
 
         # ---- free-energy quadratics at the FINAL means ---------------
-        if need_f:
+        if need_f or detector is not None:
             b_cols = means[0].shape[-1]
             means_block_fn = make_signal_and_jac(list(means))
 
@@ -343,15 +470,33 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 (tuple(zero_tb2 for _ in range(nq)),
                  tuple(zero_tb2 for _ in range(nq * ntri))))
             jtjq2 = [rsum(x) for x in jtjq2_t]
+            kqk2, trace2 = [], []
             for qi in range(nq):
-                fkqk_out[qi:qi + 1] = rsum(kqk2_t[qi])
+                kqk2.append(rsum(kqk2_t[qi]))
                 tr2 = 0.0
                 for i in range(p):
                     for j in range(p):
                         i_, j_ = max(i, j), min(i, j)
                         tr2 = tr2 + cov[(i, j)] * \
                             jtjq2[qi * ntri + tri.index((i_, j_))]
-                ftr_out[qi:qi + 1] = tr2
+                trace2.append(tr2)
+            if detector is not None:
+                # the trip-count-th iteration's test never runs in the
+                # loop (its F needs this pass at the final means)
+                f_last = assemble_f(means, bq, cq,
+                                    [cov[(i, i)] for i in range(p)],
+                                    logdet, kqk2, trace2)
+                run = 1.0 - dn
+                fsmall = jnp.where(jnp.abs(f_last - pf) < d_tol,
+                                   dtype(1.0), dtype(0.0))
+                its = its + run * (1.0 - fsmall)
+                f_st = f_st + run * (f_last - f_st)
+                fkqk_out[:] = f_st
+                ftr_out[:] = its
+            else:
+                for qi in range(nq):
+                    fkqk_out[qi:qi + 1] = kqk2[qi]
+                    ftr_out[qi:qi + 1] = trace2[qi]
         else:
             fkqk_out[:] = jnp.zeros((nq, b), dtype)
             ftr_out[:] = jnp.zeros((nq, b), dtype)
@@ -369,21 +514,24 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                             lambda i: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
+    # detector mode: the last two outputs are f/its lanes, not [Q,V]
+    # free-energy quadratics
+    fq = 1 if detector is not None else nq
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(tp),
                   fixed_spec(tp, nq), fixed_spec(4 * nq, 1)],
         out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
-                   vox_spec(nq), vox_spec(nq), vox_spec(nq), vox_spec(nq)),
+                   vox_spec(nq), vox_spec(nq), vox_spec(fq), vox_spec(fq)),
         out_shape=(
             jax.ShapeDtypeStruct((p, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
             jax.ShapeDtypeStruct((nq, nvoxels), dtype),
             jax.ShapeDtypeStruct((nq, nvoxels), dtype),
-            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
-            jax.ShapeDtypeStruct((nq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((fq, nvoxels), dtype),
+            jax.ShapeDtypeStruct((fq, nvoxels), dtype),
         ),
         interpret=interpret,
     )

@@ -102,7 +102,7 @@ class Asym4Model(Model):
         return []
 
 
-def make_asym4_engine(nv, mode, nt=40, seed=0):
+def make_asym4_engine(nv, mode, nt=40, seed=0, extra=None):
     rng = np.random.default_rng(seed)
     t = np.arange(nt) * Asym4Model.dt
     c = rng.uniform(0.5, 1.5, (nv, 4))
@@ -114,7 +114,7 @@ def make_asym4_engine(nv, mode, nt=40, seed=0):
     options = RunOptions({"model": "asym4test", "noise": "white",
                           "max-iterations": "10", "dtype": "single",
                           "engine-kernel": mode,
-                          "save-free-energy": True})
+                          "save-free-energy": True, **(extra or {})})
     return VBInference(Asym4Model(), options, data, coords)
 
 
@@ -265,6 +265,77 @@ def test_nl_loop_gating():
     coords = np.stack([np.arange(64), np.zeros(64), np.zeros(64)], 1)
     eng = VBInference(get_model_class("poly")(opts), opts, data, coords)
     assert eng.use_loop_kernel and not eng.use_nl_loop
+
+
+# ---------------------------------------------------------------------
+# pointzeroone IN-KERNEL (fused_loop_nl detector mode): the fchange
+# lane state machine runs on VMEM-resident per-lane free energy; both
+# detector decisions (iteration counts) and results must match the XLA
+# route, which computes F through a completely separate assembly
+# (noise/white.py free_energy + jax.scipy Gamma functions).
+
+def test_nl_loop_pointzeroone_matches_xla():
+    extra = {"convergence": "pointzeroone", "max-iterations": "15"}
+    rx = make_engine(256, "xla", extra, seed=2).run()
+    eng = make_engine(256, "pallas-loop", extra, seed=2)
+    assert eng.use_nl_loop and eng.nl_fdet
+    rp = eng.run()
+    # identical per-lane detector decisions...
+    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+    # ...that actually exercise heterogeneous early stopping
+    assert rx.iterations.max() < 15
+    assert len(np.unique(rx.iterations)) > 1
+    assert_match(rx, rp)
+
+
+def test_nl_loop_pointzeroone_p4():
+    """P=4 in-kernel detector vs XLA (asymmetric model). A lane whose
+    |dF| lands within f32 roundoff of the 0.01 threshold can
+    legitimately flip its stopping decision between the two F
+    assemblies (separate Gamma-function paths and summation orders):
+    allow at most one such lane, off by at most one iteration, and
+    require everything else to match strictly."""
+    extra = {"convergence": "pointzeroone", "max-iterations": "15"}
+    rx = make_asym4_engine(128, "xla", extra=extra).run()
+    eng = make_asym4_engine(128, "pallas-loop", extra=extra)
+    assert eng.use_nl_loop and eng.nl_fdet
+    rp = eng.run()
+    flip = rx.iterations != rp.iterations
+    assert flip.sum() <= 1
+    assert np.abs(rx.iterations - rp.iterations)[flip].max(initial=0) <= 1
+    assert rx.iterations.max() < 15
+    ok = ~flip
+    sd = np.sqrt(np.diagonal(rx.cov[ok], axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means[ok] - rp.means[ok])
+                  / np.maximum(sd, 1e-6)) < 5e-3
+    np.testing.assert_allclose(rx.noise_means[ok], rp.noise_means[ok],
+                               rtol=2e-3)
+    np.testing.assert_allclose(rx.free_energy[ok], rp.free_energy[ok],
+                               rtol=1e-4, atol=2e-3)
+    # the flipped lane still converged to the same fixed point (one
+    # extra near-converged iteration moves it by < the F tolerance)
+    np.testing.assert_allclose(rx.means[flip], rp.means[flip],
+                               rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("extra", [
+    {"convergence": "pointzeroone", "max-iterations": "1"},
+    {"convergence": "pointzeroone", "max-iterations": "15",
+     "min-fchange": "1e9"},
+    {"convergence": "pointzeroone", "max-iterations": "15",
+     "noise-pattern": "12"},
+], ids=["one-iter", "huge-tol", "two-groups"])
+def test_nl_loop_pointzeroone_edges(extra):
+    """Trip-count edges: the final iteration's test runs after the
+    loop; a huge tolerance converges every lane on its second test
+    with its == 1 (FchangeDetector: its not incremented on the
+    converging test); multi-group noise sums per-group ELBO pieces."""
+    rx = make_engine(128, "xla", extra, seed=3).run()
+    eng = make_engine(128, "pallas-loop", extra, seed=3)
+    assert eng.use_nl_loop and eng.nl_fdet
+    rp = eng.run()
+    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+    assert_match(rx, rp)
 
 
 def test_nl_loop_programmatic_continue_forces_xla():

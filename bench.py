@@ -61,8 +61,12 @@ def build_engine(config, nv):
             c0 = jax.random.uniform(k1, (1, m), f32, -1, 1)
             c1 = jax.random.uniform(k2, (1, m), f32, -0.1, 0.1)
             return c0 + c1 * t + 0.1 * jax.random.normal(k3, (nt, m), f32)
-    elif config == "biexp":
+    elif config in ("biexp", "biexp-fdet"):
         nt, opts = 100, {"model": "biexp", "dt": "0.02", "noise": "white"}
+        if config == "biexp-fdet":
+            # in-kernel pointzeroone: per-lane F + freezing on the
+            # whole-loop nonlinear kernel (ops/fused_loop_nl.py)
+            opts["convergence"] = "pointzeroone"
         t = jnp.arange(nt, dtype=f32)[:, None] * 0.02
         e1, e5 = jnp.exp(-t), jnp.exp(-5 * t)
 
@@ -122,6 +126,7 @@ def build_engine(config, nv):
 
 
 NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
+             "biexp-fdet": "T=100, P=4, pointzeroone",
              "ar1": "T=106, P=3 + AR(1)", "spatial": "T=50, P=1 + MRF"}
 # Per-config voxel budget as a multiple of FABBER_BENCH_VOXELS. The
 # fixed-design fast tiers (poly spectral / spatial stencil) are
@@ -131,7 +136,8 @@ NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
 # dispatch HBM envelope. The kernel-bound configs (biexp/ar1) run the
 # plain budget. The stderr line and the utilization fields state each
 # config's actual voxel count; docs quote these same numbers.
-CONFIG_SCALE = {"poly": 2.0, "biexp": 1.0, "ar1": 1.0, "spatial": 2.0}
+CONFIG_SCALE = {"poly": 2.0, "biexp": 1.0, "biexp-fdet": 1.0,
+                "ar1": 1.0, "spatial": 2.0}
 
 # v5e single-chip ceilings (public spec): 197 TFLOP/s bf16 MXU,
 # ~1/4 of that for f32; 819 GB/s HBM. The utilization fields quantify
@@ -204,7 +210,7 @@ def main():
         # BASELINE.json config family as extra fields so regressions in
         # biexp/ar1/spatial are visible per round
         per = {}
-        for cfg in ("poly", "biexp", "ar1", "spatial"):
+        for cfg in ("poly", "biexp", "biexp-fdet", "ar1", "spatial"):
             try:
                 per[cfg] = _run_config(cfg, max(1024, int(
                     nv * CONFIG_SCALE[cfg])), quiet=True)

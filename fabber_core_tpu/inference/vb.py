@@ -457,7 +457,25 @@ class VBInference:
         # posterior round-tripping HBM each time. Same static-trip /
         # iteration-invariant-prior gates as the fixed-design loop
         # kernel above.
-        nl_eligible = self._ts_eligible and self.design is None
+        # Generic-model (full-time) mode: a model with only a plain
+        # ``evaluate`` still gets the whole-loop tier when its evaluate
+        # is data-free and every traced op lowers in-kernel
+        # (models/base.py derive_time_local_eval; the kernel vmaps it
+        # over voxel lanes, ops/fused_vb.make_full_eval)
+        self._generic_eval_fn = None
+        if (not self._ts_eligible
+                and kernel_mode in ("auto", "pallas-loop")
+                and getattr(self.noise, "name", "") == "white"
+                and not self.locked_linear
+                and lin_mode == "auto"
+                and self.design is None
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)):
+            from ..models.base import derive_time_local_eval
+            self._generic_eval_fn = derive_time_local_eval(
+                model, self.nt, self.nparams, self.dtype)
+        nl_eligible = ((self._ts_eligible
+                        or self._generic_eval_fn is not None)
+                       and self.design is None)
         # pointzeroone runs IN-KERNEL (ops/fused_loop_nl.py module
         # docstring): the fchange lane state machine on VMEM-resident
         # per-lane F, iteration counts matching the XLA route
@@ -477,7 +495,10 @@ class VBInference:
                 and options.get_string("noise-initial-posterior",
                                        "modeldefault") == "modeldefault"
                 and pick_nl_block(1024, self.nparams, pad_time(self.nt),
-                                  self.noise.nphis, self.nl_fdet)
+                                  self.noise.nphis, self.nl_fdet,
+                                  self._generic_eval_fn is not None,
+                                  getattr(self._generic_eval_fn,
+                                          "time_planes", None))
                 is not None)
         if kernel_mode == "pallas-loop":
             self.use_nl_loop = nl_eligible
@@ -925,11 +946,18 @@ class VBInference:
         transforms = [pm_.transform for pm_ in self.params]
         det = self._nl_fdet_consts(n_iters) if self.nl_fdet else None
 
+        generic_fn = self._generic_eval_fn
+        ts = None if generic_fn is not None \
+            else getattr(self.model, "time_signal", None)
+
         def run_local(centre0, pm, pp, fdata, consts):
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
             nv = centre0.shape[-1]
-            block, pad = pick_nl_block(nv, p, tp, nq, self.nl_fdet)
+            block, pad = pick_nl_block(nv, p, tp, nq, self.nl_fdet,
+                                       generic_fn is not None,
+                                       getattr(generic_fn, "time_planes",
+                                               None))
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -938,13 +966,13 @@ class VBInference:
                 return x
 
             fused = make_fused_nl_loop(
-                self.model.time_signal, transforms, p, self.nt, n_iters,
+                ts, transforms, p, self.nt, n_iters,
                 nv + pad, self.dtype, self.need_f, self.noise.qmasks,
                 locked_noise_stdev=self.noise.locked_noise_stdev,
                 block=block, interpret=self.nl_interpret,
                 time_signal_jac=getattr(self.model, "time_signal_jac",
                                         None),
-                detector=det)
+                detector=det, evaluate_fn=generic_fn)
             outs = fused(pad_v(centre0), pad_v(pm), pad_v(pp),
                          pad_v(fdata), consts)
             if pad:

@@ -127,6 +127,160 @@ class Model:
     # suppdata are not available inside the kernel.
 
 
+# -- time-local derivation for the whole-loop kernel tier ------------------
+
+# jaxpr primitives known to lower through Mosaic inside the whole-loop
+# Pallas kernel (ops/fused_loop_nl.py full-time mode, after vmap over
+# voxel lanes). Conservative by construction: anything outside this set
+# (gather/scatter, control flow, sort, FFT, RNG, ...) keeps the model on
+# the XLA route rather than risking a kernel-compile failure on TPU.
+_KERNEL_SAFE_PRIMITIVES = frozenset({
+    "add", "sub", "mul", "div", "rem", "neg", "abs", "sign", "max", "min",
+    "pow", "integer_pow", "exp", "exp2", "log", "log1p", "expm1", "sqrt",
+    "rsqrt", "cbrt", "square", "sin", "cos", "tan", "asin", "acos", "atan",
+    "atan2", "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "erf",
+    "erfc", "erf_inv", "logistic", "floor", "ceil", "round", "clamp",
+    "nextafter", "is_finite", "select_n", "eq", "ne", "lt", "le", "gt",
+    "ge", "and", "or", "not", "xor", "convert_element_type",
+    "broadcast_in_dim", "reshape", "squeeze", "transpose", "concatenate",
+    "slice", "rev", "pad", "iota", "reduce_sum", "reduce_max",
+    "reduce_min", "reduce_prod", "reduce_and", "reduce_or", "dot_general",
+    "stop_gradient", "copy",
+})
+
+# call-like primitives whose sub-jaxprs are inlined: recurse into them
+_CALL_PRIMITIVES = frozenset({
+    "pjit", "closed_call", "core_call", "custom_jvp_call",
+    "custom_vjp_call", "custom_vjp_call_jaxpr", "remat", "remat2",
+    "checkpoint", "custom_jvp_call_jaxpr",
+})
+
+
+def _jaxpr_kernel_safe(jaxpr):
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in _CALL_PRIMITIVES:
+            for v in eqn.params.values():
+                sub = getattr(v, "jaxpr", v)
+                if hasattr(sub, "eqns"):
+                    if not _jaxpr_kernel_safe(sub):
+                        return False
+            continue
+        if name not in _KERNEL_SAFE_PRIMITIVES:
+            return False
+    return True
+
+
+def _count_time_planes(jaxpr, nt):
+    """Number of jaxpr intermediates carrying the time axis — the
+    VMEM-cost driver of in-kernel full-time evaluation (each becomes a
+    [tp,B] plane per voxel tile, and jax.linearize keeps primal
+    residuals plus per-basis tangent replays of every one live)."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        sub = next((getattr(p, "jaxpr", None) for p in eqn.params.values()
+                    if hasattr(p, "jaxpr") or hasattr(p, "eqns")), None)
+        if hasattr(sub, "eqns"):
+            n += _count_time_planes(sub, nt)
+            continue
+        for v in eqn.outvars:
+            if nt in tuple(getattr(v.aval, "shape", ())):
+                n += 1
+    return max(n, 1)
+
+
+def _eval_kernel_safe(closed_jaxpr, *args):
+    """Evaluate a closed jaxpr, rewriting the primitives Mosaic cannot
+    lower directly: float iota (what ``jnp.arange(nt, dtype=f32)``
+    traces to) becomes an int32 iota + convert — tpu.iota requires an
+    integer result type. Call-like primitives are evaluated recursively
+    so nested-jit model code gets the same rewrite."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src import core as jcore
+
+    jaxpr = closed_jaxpr.jaxpr
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, jcore.Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, closed_jaxpr.consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        prim = eqn.primitive
+        sub = next((p for p in eqn.params.values()
+                    if isinstance(p, jcore.ClosedJaxpr)), None)
+        if prim.name in _CALL_PRIMITIVES and sub is not None:
+            outs = _eval_kernel_safe(sub, *invals)
+        elif prim.name == "iota" and jnp.issubdtype(
+                eqn.params.get("dtype"), jnp.floating):
+            pars = dict(eqn.params)
+            fdt = pars["dtype"]
+            pars["dtype"] = jnp.int32
+            outs = [prim.bind(*invals, **pars).astype(fdt)]
+        else:
+            ans = prim.bind(*invals, **eqn.params)
+            outs = ans if prim.multiple_results else [ans]
+        for v, o in zip(eqn.outvars, outs):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
+def derive_time_local_eval(model, nt, nparams, dtype):
+    """Return ``fn(params [P]) -> signal [nt]`` if the model's generic
+    ``evaluate`` is *data-free* — it reads only the parameters, ctx.nt
+    and static model config, never per-voxel data/coords/suppdata —
+    and every operation it traces to is known to lower inside a Pallas
+    kernel; else None.
+
+    This is what gives an arbitrary plugin model (one that defines only
+    ``evaluate``, the common case when porting reference models,
+    fwdmodel.h:104-110) the whole-loop VMEM-resident fast tier without
+    hand-writing ``time_signal``: ops/fused_vb.make_full_eval vmaps the
+    returned fn over voxel lanes *inside* the kernel.
+
+    The probe traces evaluate abstractly with data/coords/suppdata set
+    to None — any model that touches them fails the trace and is
+    (correctly) rejected — then walks the jaxpr against a Mosaic-safe
+    primitive allowlist so auto-engagement cannot turn a previously
+    working XLA-route model into a TPU kernel-compile failure.
+    """
+    import jax
+
+    ctx = EvalContext(data=None, coords=None, suppdata=None, nt=nt)
+
+    def fn(pvec):
+        return model.evaluate(pvec, ctx)
+
+    aval = jax.ShapeDtypeStruct((nparams,), dtype)
+    try:
+        out = jax.eval_shape(fn, aval)
+        if tuple(out.shape) != (nt,):
+            return None
+        closed = jax.make_jaxpr(fn)(aval)
+        if not _jaxpr_kernel_safe(closed.jaxpr):
+            return None
+    except Exception:
+        return None
+
+    # serve the traced-and-rewritten jaxpr, not evaluate itself: the
+    # interpreter swaps the primitives Mosaic cannot lower as written
+    # (float iota -> int iota + convert)
+    def fn_safe(pvec):
+        return _eval_kernel_safe(closed, pvec)[0]
+
+    # VMEM-cost hint for the kernel's tile-size gate
+    # (ops/fused_loop_nl.pick_nl_block): time-shaped intermediates in
+    # the trace, each a live [tp,B] plane (x primal/residual/tangent
+    # multiplicity, applied by the caller)
+    fn_safe.time_planes = _count_time_planes(closed.jaxpr, nt)
+    return fn_safe
+
+
 # -- registry -------------------------------------------------------------
 
 _MODELS = {}

@@ -49,10 +49,15 @@ class ExpModel(Model):
         return params
 
     def evaluate(self, params, ctx, key=""):
+        # scalar indexing (not params[0::2]) keeps the trace on the
+        # Mosaic-safe primitive set (slice+squeeze, no gather), so this
+        # evaluate also serves as the in-kernel generic form
+        # (models/base.py derive_time_local_eval)
         t = jnp.arange(ctx.nt, dtype=params.dtype) * self.dt
-        amps = params[0::2]  # [num]
-        rates = params[1::2]
-        return jnp.sum(amps[None, :] * jnp.exp(-rates[None, :] * t[:, None]), axis=1)
+        sig = params[0] * jnp.exp(-params[1] * t)
+        for i in range(1, self.num):
+            sig = sig + params[2 * i] * jnp.exp(-params[2 * i + 1] * t)
+        return sig
 
     def time_signal(self, params, t):
         """Time-local form for the fused Pallas iteration: params is a

@@ -34,6 +34,17 @@ requested, one extra pass at the final means producing the per-group
 free-energy quadratics; the digamma/gammaln ELBO assembly stays
 outside, noise/white.py free_energy_from_parts).
 
+GENERIC-MODEL (full-time) MODE: models that define only the plain
+``evaluate`` — the common case for user plugins ported from the
+reference's FwdModel::Evaluate (fwdmodel.h:104-110) — get the same
+whole-loop tier without hand-writing ``time_signal``, provided their
+evaluate is data-free and kernel-safe (models/base.py
+derive_time_local_eval). The kernel then vmaps evaluate over the
+voxel lanes and evaluates the FULL padded time axis in one block per
+iteration (make_full_eval), reducing each quadratic immediately
+instead of carrying [TB,B] partials; everything else (solve, phi
+update, detector) is byte-identical code.
+
 Eligibility (gated by the engine, inference/vb.py): white noise,
 time-local model, maxits or pointzeroone detector (static trip count,
 no save/revert, no LM damping), iteration-invariant priors (non-ARD,
@@ -64,13 +75,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_vb import TB, _tri, pad_time, make_block_eval
+from .fused_vb import TB, _tri, pad_time, make_block_eval, make_full_eval
 from .fused_loop import VMEM_BUDGET
 
 DEFAULT_BLOCK = 1024
 
 
-def n_nl_loop_rows(p, tp, nq, fdet=False):
+def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
+                   eval_planes=None):
     """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
 
     Counts the double-buffered data input, the double-buffered small
@@ -78,18 +90,33 @@ def n_nl_loop_rows(p, tp, nq, fdet=False):
     the [TB,B] partial-sum planes (J'QJ tri + J'Qr + r'Qr per group)
     carried across the time loop. No J/r scratch: the phi update's
     k'Qk expands into these quadratics. fdet adds the detector lanes
-    (f, prev_f, done, its, logdet) plus the F-assembly temporaries."""
+    (f, prev_f, done, its, logdet) plus the F-assembly temporaries.
+
+    full_eval (generic-model mode): every time-shaped intermediate of
+    the model trace is a live [tp,B] plane, and Mosaic keeps the
+    linearize primal residuals AND the per-basis tangent replays live
+    concurrently — measured ~(2p+2)x the primal plane count on v5e;
+    eval_planes (models/base.py fn.time_planes) carries the per-model
+    plane count and the gate scales it by (2p+3) for margin. The
+    quadratic accumulators collapse to [1,B] rows."""
     ntri = p * (p + 1) // 2
     data_in = 2 * tp                            # pipelined in buffers
     small_io = 2 * (3 * p) + 2 * (p + 2 * p * p + 4 * nq)
     carry = p + 2 * nq + 2 * ntri
-    eval_live = 3 * TB * (p + 1)                # sig/jac rows + temps
-    time_partials = TB * nq * (ntri + p + 1)
+    if full_eval:
+        ep = (2 * p + 3) * (eval_planes if eval_planes is not None
+                            else 3 * (p + 1))
+        eval_live = (ep + p + 2) * tp
+        time_partials = nq * (ntri + p + 1)
+    else:
+        eval_live = 3 * TB * (p + 1)            # sig/jac rows + temps
+        time_partials = TB * nq * (ntri + p + 1)
     return (data_in + small_io + carry + eval_live + time_partials
             + (10 if fdet else 0))
 
 
-def pick_nl_block(nvoxels, p, tp, nq, fdet=False):
+def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
+                  eval_planes=None):
     """Largest voxel tile whose estimated footprint fits VMEM_BUDGET;
     (block, pad) or None when even the smallest tile doesn't fit
     (caller falls back to the XLA route).
@@ -100,7 +127,7 @@ def pick_nl_block(nvoxels, p, tp, nq, fdet=False):
     1-vreg planes, ~8k grid steps, 1/8 lane utilization per op —
     costing ~2x end-to-end, while edge padding is O(block) wasted
     voxels out of millions."""
-    rows = n_nl_loop_rows(p, tp, nq, fdet)
+    rows = n_nl_loop_rows(p, tp, nq, fdet, full_eval, eval_planes)
     for bb in (2048, 1024, 512, 256, 128):
         if rows * bb * 4 <= VMEM_BUDGET:
             return bb, (-nvoxels) % bb
@@ -111,7 +138,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                        nvoxels, dtype, need_f, qmasks,
                        locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
                        interpret=False, time_signal_jac=None,
-                       detector=None):
+                       detector=None, evaluate_fn=None):
     """Build the whole-loop callable.
 
     Returns fn(centre0 [P,V], prior_means [P,V], prior_prec [P,V],
@@ -133,6 +160,10 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 the constant c_post, prior normalizers, 2*pi powers),
     all Python scalars (see VBInference._nl_fdet_consts, which derives
     them from noise/white.py free_energy_from_parts with c = c_post).
+
+    evaluate_fn (generic-model mode, used when time_signal is None):
+    fn(params [P]) -> [nt] from models/base.py derive_time_local_eval;
+    the kernel runs in full-time mode (module docstring).
     The last two outputs then become f [1,V] (per-lane final free
     energy, fprior excluded — zero for the priors this route admits)
     and its [1,V] (per-lane iteration counts, FchangeDetector
@@ -143,7 +174,16 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     ntri = len(tri)
     nq = qmasks.shape[0]
     tp = pad_time(nt)
-    ntb = tp // TB
+    # full-time (generic-model) mode: the model's plain evaluate is
+    # vmapped over voxel lanes in-kernel and evaluated over the whole
+    # padded time axis at once — one "block" of TBk = tp rows, with the
+    # quadratics reduced immediately instead of carried as [TB,B]
+    # partials (see make_full_eval / derive_time_local_eval)
+    full_mode = time_signal is None
+    if full_mode and evaluate_fn is None:
+        raise ValueError("need time_signal or evaluate_fn")
+    TBk = tp if full_mode else TB
+    ntb = tp // TBk
     qm_host = np.zeros((tp, nq), dtype=np.float32)
     qm_host[:nt, :] = np.asarray(qmasks, np.float32).T
 
@@ -151,8 +191,12 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         raise ValueError(f"block={block} must divide nvoxels={nvoxels} "
                          "(caller pads)")
 
-    make_signal_and_jac = make_block_eval(time_signal, transforms, p,
-                                          dtype, time_signal_jac)
+    if full_mode:
+        make_signal_and_jac = make_full_eval(evaluate_fn, transforms, p,
+                                             nt, tp, dtype)
+    else:
+        make_signal_and_jac = make_block_eval(time_signal, transforms, p,
+                                              dtype, time_signal_jac)
 
     def at_tri(mat_list, i, j):
         i, j = max(i, j), min(i, j)
@@ -223,13 +267,26 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         pp = [pp_ref[i:i + 1] for i in range(p)]
 
         def qw(qi, t0):
-            return qm_ref[pl.ds(t0, TB), qi:qi + 1]
+            return qm_ref[pl.ds(t0, TBk), qi:qi + 1]
 
         def rsum(x):
             return jnp.sum(x, axis=0, keepdims=True)
 
-        zero_tb = jnp.zeros((TB, b), dtype)
         zero_1b = jnp.zeros((1, b), dtype)
+        # time-pass accumulators: [TB,B] partials in block mode (one
+        # cross-sublane reduction after the loop), already-reduced
+        # [1,B] rows in full-time mode (red applied per product)
+        zero_acc = zero_1b if full_mode else jnp.zeros((TB, b), dtype)
+        red = rsum if full_mode else (lambda x: x)
+
+        def time_reduce(body, init):
+            """fori over time blocks; single-block (full) mode calls
+            the body once with a CONCRETE t0 so data slicing stays
+            static."""
+            if ntb == 1:
+                return body(jnp.int32(0), init)
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntb),
+                                     body, init)
 
         if detector is not None:
             d_tol = dtype(detector["tol"])
@@ -273,28 +330,28 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
 
             def body_a(tb, acc):
                 jtjq, jtrq, rqrq = acc
-                t0 = tb * jnp.int32(TB)
+                t0 = tb * jnp.int32(TBk)
                 sig, jrows = centre_block_fn(t0)
-                r = data_ref[pl.ds(t0, TB), :] - sig
+                r = data_ref[pl.ds(t0, TBk), :] - sig
                 add_jtj, add_jtr, add_rqr = [], [], []
                 for qi in range(nq):
                     w = qw(qi, t0)
                     wj = [w * jrows[i] for i in range(p)]
                     wr = w * r
                     for i, j in tri:
-                        add_jtj.append(wj[i] * jrows[j])
+                        add_jtj.append(red(wj[i] * jrows[j]))
                     for a in range(p):
-                        add_jtr.append(jrows[a] * wr)
-                    add_rqr.append(wr * r)
+                        add_jtr.append(red(jrows[a] * wr))
+                    add_rqr.append(red(wr * r))
                 return (tuple(x + y for x, y in zip(jtjq, add_jtj)),
                         tuple(x + y for x, y in zip(jtrq, add_jtr)),
                         tuple(x + y for x, y in zip(rqrq, add_rqr)))
 
-            jtjq_t, jtrq_t, rqrq_t = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(ntb), body_a,
-                (tuple(zero_tb for _ in range(nq * ntri)),
-                 tuple(zero_tb for _ in range(nq * p)),
-                 tuple(zero_tb for _ in range(nq))))
+            jtjq_t, jtrq_t, rqrq_t = time_reduce(
+                body_a,
+                (tuple(zero_acc for _ in range(nq * ntri)),
+                 tuple(zero_acc for _ in range(nq * p)),
+                 tuple(zero_acc for _ in range(nq))))
             jtjq = [rsum(x) for x in jtjq_t]
             jtrq = [rsum(x) for x in jtrq_t]
             rqrq = [rsum(x) for x in rqrq_t]
@@ -451,24 +508,24 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
 
             def body_c(tb, carry):
                 kqk2, jtjq2 = carry
-                t0 = tb * jnp.int32(TB)
+                t0 = tb * jnp.int32(TBk)
                 sig, jrows = means_block_fn(t0)
-                kblk = data_ref[pl.ds(t0, TB), :] - sig
+                kblk = data_ref[pl.ds(t0, TBk), :] - sig
                 k2 = kblk * kblk
                 add_kqk, add_jtj = [], []
                 for qi in range(nq):
                     w = qw(qi, t0)
-                    add_kqk.append(w * k2)
+                    add_kqk.append(red(w * k2))
                     for i, j in tri:
-                        add_jtj.append(w * jrows[i] * jrows[j])
+                        add_jtj.append(red(w * jrows[i] * jrows[j]))
                 return (tuple(x + y for x, y in zip(kqk2, add_kqk)),
                         tuple(x + y for x, y in zip(jtjq2, add_jtj)))
 
-            zero_tb2 = jnp.zeros((TB, b_cols), dtype)
-            kqk2_t, jtjq2_t = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(ntb), body_c,
-                (tuple(zero_tb2 for _ in range(nq)),
-                 tuple(zero_tb2 for _ in range(nq * ntri))))
+            zero_acc2 = jnp.zeros((1 if full_mode else TB, b_cols), dtype)
+            kqk2_t, jtjq2_t = time_reduce(
+                body_c,
+                (tuple(zero_acc2 for _ in range(nq)),
+                 tuple(zero_acc2 for _ in range(nq * ntri))))
             jtjq2 = [rsum(x) for x in jtjq2_t]
             kqk2, trace2 = [], []
             for qi in range(nq):

@@ -119,6 +119,61 @@ def make_block_eval(time_signal, transforms, nparams, dtype,
     return make_signal_and_jac
 
 
+def make_full_eval(evaluate_fn, transforms, nparams, nt, tp, dtype):
+    """In-kernel evaluator for *generic* (data-free) models: the
+    full-time counterpart of make_block_eval, used by the whole-loop
+    kernel's full-time mode (ops/fused_loop_nl.py).
+
+    ``evaluate_fn(params [P]) -> signal [nt]`` is the model's plain
+    ``evaluate`` closed over a data-free EvalContext (models/base.py
+    derive_time_local_eval). Unlike time_signal it produces the whole
+    series from a parameter *vector*, so it is vmapped over the voxel
+    lanes inside the kernel and evaluated over the full time axis once
+    per call; the latent-space Jacobian comes from one jax.linearize
+    (P linear-map applications, as in make_block_eval's generic path).
+
+    Returns make_signal_and_jac(latent_rows) -> block_fn(t0) ->
+    (sig [tp,B], P x [tp,B] latent-space Jacobian rows). t0 is ignored
+    — the single "block" is the whole (zero-padded) time axis, and the
+    caller reduces over it directly instead of looping time blocks.
+    """
+    p = nparams
+
+    def make_signal_and_jac(latent_rows):
+        stack = jnp.concatenate(latent_rows, axis=0)  # [P,B] latent
+        b = stack.shape[-1]
+
+        def f(st):
+            mrows = [tr.to_model(st[i])
+                     for i, tr in enumerate(transforms)]  # [B] each
+            sig = jax.vmap(evaluate_fn, in_axes=1, out_axes=1)(
+                jnp.stack(mrows)).astype(dtype)           # [nt,B]
+            if tp != nt:
+                # padded rows belong to no noise group (all-zero
+                # indicator), so their value never contributes
+                sig = jnp.concatenate(
+                    [sig, jnp.zeros((tp - nt, b), dtype)], axis=0)
+            return sig
+
+        sig, f_jvp = jax.linearize(f, stack)
+        jrows = []
+        for i in range(p):
+            # basis tangent without scatter (Mosaic has no scatter)
+            basis = jnp.concatenate(
+                [jnp.ones((1, b), dtype) if j == i
+                 else jnp.zeros((1, b), dtype) for j in range(p)],
+                axis=0)
+            jrows.append(f_jvp(basis))
+
+        def block_fn(t0):
+            del t0  # single full-time block
+            return sig, jrows
+
+        return block_fn
+
+    return make_signal_and_jac
+
+
 def make_fused_iteration(time_signal, transforms, nparams, nt, nvoxels,
                          dtype, need_f, qmasks, block=DEFAULT_BLOCK,
                          with_lm=False, interpret=False,

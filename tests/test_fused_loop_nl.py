@@ -275,17 +275,32 @@ def test_nl_loop_gating():
 # (noise/white.py free_energy + jax.scipy Gamma functions).
 
 def test_nl_loop_pointzeroone_matches_xla():
+    """Per-lane detector decisions vs XLA. As in the P=4 variant below,
+    a lane whose |dF| lands within f32 roundoff of the 0.01 threshold
+    can legitimately flip between the two independent F assemblies:
+    allow at most one such lane, off by at most one iteration."""
     extra = {"convergence": "pointzeroone", "max-iterations": "15"}
     rx = make_engine(256, "xla", extra, seed=2).run()
     eng = make_engine(256, "pallas-loop", extra, seed=2)
     assert eng.use_nl_loop and eng.nl_fdet
     rp = eng.run()
-    # identical per-lane detector decisions...
-    np.testing.assert_array_equal(rx.iterations, rp.iterations)
-    # ...that actually exercise heterogeneous early stopping
+    flip = rx.iterations != rp.iterations
+    assert flip.sum() <= 1
+    assert np.abs(rx.iterations - rp.iterations)[flip].max(initial=0) <= 1
+    # heterogeneous early stopping actually exercised
     assert rx.iterations.max() < 15
     assert len(np.unique(rx.iterations)) > 1
-    assert_match(rx, rp)
+    ok = ~flip
+    sd = np.sqrt(np.diagonal(rx.cov[ok], axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means[ok] - rp.means[ok])
+                  / np.maximum(sd, 1e-6)) < 5e-3
+    np.testing.assert_allclose(rx.noise_means[ok], rp.noise_means[ok],
+                               rtol=2e-3)
+    np.testing.assert_allclose(rx.free_energy[ok], rp.free_energy[ok],
+                               rtol=1e-4, atol=2e-3)
+    # a flipped lane still converged to the same fixed point
+    np.testing.assert_allclose(rx.means[flip], rp.means[flip],
+                               rtol=1e-2, atol=1e-3)
 
 
 def test_nl_loop_pointzeroone_p4():

@@ -61,7 +61,7 @@ def build_engine(config, nv):
             c0 = jax.random.uniform(k1, (1, m), f32, -1, 1)
             c1 = jax.random.uniform(k2, (1, m), f32, -0.1, 0.1)
             return c0 + c1 * t + 0.1 * jax.random.normal(k3, (nt, m), f32)
-    elif config in ("biexp", "biexp-fdet"):
+    elif config in ("biexp", "biexp-fdet", "biexp-generic"):
         nt, opts = 100, {"model": "biexp", "dt": "0.02", "noise": "white"}
         if config == "biexp-fdet":
             # in-kernel pointzeroone: per-lane F + freezing on the
@@ -114,7 +114,18 @@ def build_engine(config, nv):
                                                   "single"),
                           "engine-kernel": os.environ.get(
                               "FABBER_BENCH_KERNEL", "auto")})
-    model = get_model_class(options.get_string("model"))(options)
+    model_cls = get_model_class(options.get_string("model"))
+    if config == "biexp-generic":
+        # plugin-model tier: strip the hand-written time_signal hooks so
+        # the engine derives the in-kernel evaluator from the plain
+        # evaluate() (models/base.py derive_time_local_eval). Opt-in
+        # config (not in "all"): FABBER_BENCH_CONFIG=biexp-generic
+        class _StrippedModel(model_cls):
+            @property
+            def time_signal(self):
+                raise AttributeError("generic-tier bench: evaluate only")
+        model_cls = _StrippedModel
+    model = model_cls(options)
     if config == "spatial":
         from fabber_core_tpu.inference.spatial import SpatialVBInference
         eng = SpatialVBInference(model, options, None, coords,
@@ -127,6 +138,7 @@ def build_engine(config, nv):
 
 NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
              "biexp-fdet": "T=100, P=4, pointzeroone",
+             "biexp-generic": "T=100, P=4, evaluate-only plugin tier",
              "ar1": "T=106, P=3 + AR(1)", "spatial": "T=50, P=1 + MRF"}
 # Per-config voxel budget as a multiple of FABBER_BENCH_VOXELS. The
 # fixed-design fast tiers (poly spectral / spatial stencil) are

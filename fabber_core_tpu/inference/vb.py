@@ -471,8 +471,10 @@ class VBInference:
                 and self.design is None
                 and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)):
             from ..models.base import derive_time_local_eval
+            nsupp = 0 if self.suppdata is None \
+                else int(self.suppdata.shape[0])
             self._generic_eval_fn = derive_time_local_eval(
-                model, self.nt, self.nparams, self.dtype)
+                model, self.nt, self.nparams, self.dtype, nsupp)
         nl_eligible = ((self._ts_eligible
                         or self._generic_eval_fn is not None)
                        and self.design is None)
@@ -498,7 +500,9 @@ class VBInference:
                                   self.noise.nphis, self.nl_fdet,
                                   self._generic_eval_fn is not None,
                                   getattr(self._generic_eval_fn,
-                                          "time_planes", None))
+                                          "time_planes", None),
+                                  getattr(self._generic_eval_fn,
+                                          "nsupp", 0))
                 is not None)
         if kernel_mode == "pallas-loop":
             self.use_nl_loop = nl_eligible
@@ -949,15 +953,16 @@ class VBInference:
         generic_fn = self._generic_eval_fn
         ts = None if generic_fn is not None \
             else getattr(self.model, "time_signal", None)
+        nsupp = getattr(generic_fn, "nsupp", 0)
 
-        def run_local(centre0, pm, pp, fdata, consts):
+        def run_local(centre0, pm, pp, fdata, consts, supp):
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
             nv = centre0.shape[-1]
             block, pad = pick_nl_block(nv, p, tp, nq, self.nl_fdet,
                                        generic_fn is not None,
                                        getattr(generic_fn, "time_planes",
-                                               None))
+                                               None), nsupp)
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -972,16 +977,17 @@ class VBInference:
                 block=block, interpret=self.nl_interpret,
                 time_signal_jac=getattr(self.model, "time_signal_jac",
                                         None),
-                detector=det, evaluate_fn=generic_fn)
+                detector=det, evaluate_fn=generic_fn, nsupp=nsupp)
             outs = fused(pad_v(centre0), pad_v(pm), pad_v(pp),
-                         pad_v(fdata), consts)
+                         pad_v(fdata), consts,
+                         supp=pad_v(supp) if nsupp else None)
             if pad:
                 outs = tuple(o[..., :nv] for o in outs)
             return outs
 
         dispatch = _shard_kernel(
             getattr(self, "mesh", None), run_local,
-            in_vox_dims=(2, 2, 2, 2, None),
+            in_vox_dims=(2, 2, 2, 2, None, 2),
             out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
 
         @jax.jit
@@ -1000,7 +1006,7 @@ class VBInference:
             # initialized) posterior means from initial_state
             means, prec, cov, nb, nc, fkqk, ftr = dispatch(
                 s.post.means, prior_means, prior_prec, bind.fused_data,
-                consts)
+                consts, bind.supp)
 
             noise_post = WhiteNoiseState(nb, nc)
             post = PosteriorState(means, prec, cov, prior_means,

@@ -230,38 +230,50 @@ def _eval_kernel_safe(closed_jaxpr, *args):
     return [read(v) for v in jaxpr.outvars]
 
 
-def derive_time_local_eval(model, nt, nparams, dtype):
-    """Return ``fn(params [P]) -> signal [nt]`` if the model's generic
-    ``evaluate`` is *data-free* — it reads only the parameters, ctx.nt
-    and static model config, never per-voxel data/coords/suppdata —
-    and every operation it traces to is known to lower inside a Pallas
+def derive_time_local_eval(model, nt, nparams, dtype, nsupp=0):
+    """Return ``fn(params [P][, supp [S]]) -> signal [nt]`` if the
+    model's generic ``evaluate`` is *data-free* — it reads only the
+    parameters, ctx.nt, static model config and (when the run provides
+    it, nsupp>0) per-voxel ctx.suppdata, never ctx.data/coords — and
+    every operation it traces to is known to lower inside a Pallas
     kernel; else None.
 
     This is what gives an arbitrary plugin model (one that defines only
     ``evaluate``, the common case when porting reference models,
     fwdmodel.h:104-110) the whole-loop VMEM-resident fast tier without
     hand-writing ``time_signal``: ops/fused_vb.make_full_eval vmaps the
-    returned fn over voxel lanes *inside* the kernel.
+    returned fn over voxel lanes *inside* the kernel (suppdata rides in
+    as an extra [S,V] kernel input).
 
-    The probe traces evaluate abstractly with data/coords/suppdata set
-    to None — any model that touches them fails the trace and is
-    (correctly) rejected — then walks the jaxpr against a Mosaic-safe
-    primitive allowlist so auto-engagement cannot turn a previously
-    working XLA-route model into a TPU kernel-compile failure.
+    The probe traces evaluate abstractly with data/coords (and, when
+    nsupp==0, suppdata) set to None — any model that touches them fails
+    the trace and is (correctly) rejected — then walks the jaxpr
+    against a Mosaic-safe primitive allowlist so auto-engagement cannot
+    turn a previously working XLA-route model into a TPU kernel-compile
+    failure.
     """
     import jax
 
-    ctx = EvalContext(data=None, coords=None, suppdata=None, nt=nt)
+    if nsupp:
+        def fn(pvec, svec):
+            ctx = EvalContext(data=None, coords=None, suppdata=svec,
+                              nt=nt)
+            return model.evaluate(pvec, ctx)
 
-    def fn(pvec):
-        return model.evaluate(pvec, ctx)
+        avals = (jax.ShapeDtypeStruct((nparams,), dtype),
+                 jax.ShapeDtypeStruct((nsupp,), dtype))
+    else:
+        ctx0 = EvalContext(data=None, coords=None, suppdata=None, nt=nt)
 
-    aval = jax.ShapeDtypeStruct((nparams,), dtype)
+        def fn(pvec):
+            return model.evaluate(pvec, ctx0)
+
+        avals = (jax.ShapeDtypeStruct((nparams,), dtype),)
     try:
-        out = jax.eval_shape(fn, aval)
+        out = jax.eval_shape(fn, *avals)
         if tuple(out.shape) != (nt,):
             return None
-        closed = jax.make_jaxpr(fn)(aval)
+        closed = jax.make_jaxpr(fn)(*avals)
         if not _jaxpr_kernel_safe(closed.jaxpr):
             return None
     except Exception:
@@ -270,14 +282,15 @@ def derive_time_local_eval(model, nt, nparams, dtype):
     # serve the traced-and-rewritten jaxpr, not evaluate itself: the
     # interpreter swaps the primitives Mosaic cannot lower as written
     # (float iota -> int iota + convert)
-    def fn_safe(pvec):
-        return _eval_kernel_safe(closed, pvec)[0]
+    def fn_safe(pvec, *supp):
+        return _eval_kernel_safe(closed, pvec, *supp)[0]
 
     # VMEM-cost hint for the kernel's tile-size gate
     # (ops/fused_loop_nl.pick_nl_block): time-shaped intermediates in
     # the trace, each a live [tp,B] plane (x primal/residual/tangent
     # multiplicity, applied by the caller)
     fn_safe.time_planes = _count_time_planes(closed.jaxpr, nt)
+    fn_safe.nsupp = nsupp
     return fn_safe
 
 

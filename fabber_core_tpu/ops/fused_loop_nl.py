@@ -82,7 +82,7 @@ DEFAULT_BLOCK = 1024
 
 
 def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
-                   eval_planes=None):
+                   eval_planes=None, nsupp=0):
     """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
 
     Counts the double-buffered data input, the double-buffered small
@@ -106,7 +106,7 @@ def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
     if full_eval:
         ep = (2 * p + 3) * (eval_planes if eval_planes is not None
                             else 3 * (p + 1))
-        eval_live = (ep + p + 2) * tp
+        eval_live = (ep + p + 2) * tp + 3 * nsupp  # + suppdata in/live
         time_partials = nq * (ntri + p + 1)
     else:
         eval_live = 3 * TB * (p + 1)            # sig/jac rows + temps
@@ -116,7 +116,7 @@ def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
 
 
 def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
-                  eval_planes=None):
+                  eval_planes=None, nsupp=0):
     """Largest voxel tile whose estimated footprint fits VMEM_BUDGET;
     (block, pad) or None when even the smallest tile doesn't fit
     (caller falls back to the XLA route).
@@ -127,7 +127,7 @@ def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
     1-vreg planes, ~8k grid steps, 1/8 lane utilization per op —
     costing ~2x end-to-end, while edge padding is O(block) wasted
     voxels out of millions."""
-    rows = n_nl_loop_rows(p, tp, nq, fdet, full_eval, eval_planes)
+    rows = n_nl_loop_rows(p, tp, nq, fdet, full_eval, eval_planes, nsupp)
     for bb in (2048, 1024, 512, 256, 128):
         if rows * bb * 4 <= VMEM_BUDGET:
             return bb, (-nvoxels) % bb
@@ -138,7 +138,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                        nvoxels, dtype, need_f, qmasks,
                        locked_noise_stdev=-1.0, block=DEFAULT_BLOCK,
                        interpret=False, time_signal_jac=None,
-                       detector=None, evaluate_fn=None):
+                       detector=None, evaluate_fn=None, nsupp=0):
     """Build the whole-loop callable.
 
     Returns fn(centre0 [P,V], prior_means [P,V], prior_prec [P,V],
@@ -162,8 +162,10 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     them from noise/white.py free_energy_from_parts with c = c_post).
 
     evaluate_fn (generic-model mode, used when time_signal is None):
-    fn(params [P]) -> [nt] from models/base.py derive_time_local_eval;
-    the kernel runs in full-time mode (module docstring).
+    fn(params [P][, supp [S]]) -> [nt] from models/base.py
+    derive_time_local_eval; the kernel runs in full-time mode (module
+    docstring). nsupp>0 adds a per-voxel [S,V] suppdata kernel input
+    (run(..., supp=...)), threaded to evaluate_fn per lane.
     The last two outputs then become f [1,V] (per-lane final free
     energy, fprior excluded — zero for the priors this route admits)
     and its [1,V] (per-lane iteration counts, FchangeDetector
@@ -182,6 +184,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     full_mode = time_signal is None
     if full_mode and evaluate_fn is None:
         raise ValueError("need time_signal or evaluate_fn")
+    with_supp = full_mode and nsupp > 0
     TBk = tp if full_mode else TB
     ntb = tp // TBk
     qm_host = np.zeros((tp, nq), dtype=np.float32)
@@ -193,7 +196,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
 
     if full_mode:
         make_signal_and_jac = make_full_eval(evaluate_fn, transforms, p,
-                                             nt, tp, dtype)
+                                             nt, tp, dtype, nsupp)
     else:
         make_signal_and_jac = make_block_eval(time_signal, transforms, p,
                                               dtype, time_signal_jac)
@@ -249,10 +252,23 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 cv[(j, i)] = s
         return cv
 
-    def kernel(centre0_ref, pm_ref, pp_ref, data_ref, qm_ref, consts_ref,
-               means_out, prec_out, cov_out, b_out, c_out,
-               fkqk_out, ftr_out):
+    def kernel(*refs):
+        if with_supp:
+            (centre0_ref, pm_ref, pp_ref, data_ref, supp_ref, qm_ref,
+             consts_ref, means_out, prec_out, cov_out, b_out, c_out,
+             fkqk_out, ftr_out) = refs
+        else:
+            (centre0_ref, pm_ref, pp_ref, data_ref, qm_ref, consts_ref,
+             means_out, prec_out, cov_out, b_out, c_out,
+             fkqk_out, ftr_out) = refs
         b = centre0_ref.shape[-1]
+
+        def eval_at(rows):
+            """Model evaluator factory at the given latent rows; the
+            suppdata plane rides along in full-time mode."""
+            if with_supp:
+                return make_signal_and_jac(rows, supp_ref[...])
+            return make_signal_and_jac(rows)
         ones = jnp.ones((1, b), dtype)
 
         def cst(row):
@@ -326,7 +342,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             # loop, one cross-sublane reduction per quadratic after it.
             # The weight is folded into ONE factor of each product
             # (wj_i, wr) so every accumuland is a single mul + add ----
-            centre_block_fn = make_signal_and_jac(list(centre))
+            centre_block_fn = eval_at(list(centre))
 
             def body_a(tb, acc):
                 jtjq, jtrq, rqrq = acc
@@ -504,7 +520,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         # ---- free-energy quadratics at the FINAL means ---------------
         if need_f or detector is not None:
             b_cols = means[0].shape[-1]
-            means_block_fn = make_signal_and_jac(list(means))
+            means_block_fn = eval_at(list(means))
 
             def body_c(tb, carry):
                 kqk2, jtjq2 = carry
@@ -574,11 +590,14 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     # detector mode: the last two outputs are f/its lanes, not [Q,V]
     # free-energy quadratics
     fq = 1 if detector is not None else nq
+    in_specs = [vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(tp)]
+    if with_supp:
+        in_specs.append(vox_spec(nsupp))
+    in_specs += [fixed_spec(tp, nq), fixed_spec(4 * nq, 1)]
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(tp),
-                  fixed_spec(tp, nq), fixed_spec(4 * nq, 1)],
+        in_specs=in_specs,
         out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
                    vox_spec(nq), vox_spec(nq), vox_spec(fq), vox_spec(fq)),
         out_shape=(
@@ -593,10 +612,14 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         interpret=interpret,
     )
 
-    def run(centre0, prior_means, prior_prec, data_padded, consts):
+    def run(centre0, prior_means, prior_prec, data_padded, consts,
+            supp=None):
         qm = jnp.asarray(qm_host, dtype)
-        means, prec_f, cov_f, nb, nc, fkqk, ftr = call(
-            centre0, prior_means, prior_prec, data_padded, qm, consts)
+        args = [centre0, prior_means, prior_prec, data_padded]
+        if with_supp:
+            args.append(supp.astype(dtype))
+        args += [qm, consts]
+        means, prec_f, cov_f, nb, nc, fkqk, ftr = call(*args)
         return (means, prec_f.reshape(p, p, nvoxels),
                 cov_f.reshape(p, p, nvoxels), nb, nc, fkqk, ftr)
 

@@ -119,7 +119,8 @@ def make_block_eval(time_signal, transforms, nparams, dtype,
     return make_signal_and_jac
 
 
-def make_full_eval(evaluate_fn, transforms, nparams, nt, tp, dtype):
+def make_full_eval(evaluate_fn, transforms, nparams, nt, tp, dtype,
+                   nsupp=0):
     """In-kernel evaluator for *generic* (data-free) models: the
     full-time counterpart of make_block_eval, used by the whole-loop
     kernel's full-time mode (ops/fused_loop_nl.py).
@@ -132,22 +133,28 @@ def make_full_eval(evaluate_fn, transforms, nparams, nt, tp, dtype):
     per call; the latent-space Jacobian comes from one jax.linearize
     (P linear-map applications, as in make_block_eval's generic path).
 
-    Returns make_signal_and_jac(latent_rows) -> block_fn(t0) ->
+    Returns make_signal_and_jac(latent_rows[, supp]) -> block_fn(t0) ->
     (sig [tp,B], P x [tp,B] latent-space Jacobian rows). t0 is ignored
     — the single "block" is the whole (zero-padded) time axis, and the
     caller reduces over it directly instead of looping time blocks.
+    supp (when nsupp>0) is the [S,B] per-voxel suppdata plane, a plain
+    vmapped input (no Jacobian is taken through it).
     """
     p = nparams
 
-    def make_signal_and_jac(latent_rows):
+    def make_signal_and_jac(latent_rows, supp=None):
         stack = jnp.concatenate(latent_rows, axis=0)  # [P,B] latent
         b = stack.shape[-1]
 
         def f(st):
             mrows = [tr.to_model(st[i])
                      for i, tr in enumerate(transforms)]  # [B] each
-            sig = jax.vmap(evaluate_fn, in_axes=1, out_axes=1)(
-                jnp.stack(mrows)).astype(dtype)           # [nt,B]
+            if nsupp:
+                sig = jax.vmap(evaluate_fn, in_axes=(1, 1), out_axes=1)(
+                    jnp.stack(mrows), supp).astype(dtype)  # [nt,B]
+            else:
+                sig = jax.vmap(evaluate_fn, in_axes=1, out_axes=1)(
+                    jnp.stack(mrows)).astype(dtype)        # [nt,B]
             if tp != nt:
                 # padded rows belong to no noise group (all-zero
                 # indicator), so their value never contributes

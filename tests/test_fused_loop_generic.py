@@ -157,6 +157,51 @@ def test_generic_loop_noise_pattern():
     assert_match(rx, eng.run(), mean_rtol=1e-3)
 
 
+class SuppScaledModel(GaussianActModel):
+    """Uses per-voxel ctx.suppdata (a scale and an offset) — the
+    reference passes suppdata to every plugin evaluate
+    (fwdmodel.cc:198-208); the generic tier threads it into the kernel
+    as an extra [S,V] input."""
+    name = "suppscale-test"
+
+    def evaluate(self, params, ctx, key=""):
+        return (ctx.suppdata[0] * super().evaluate(params, ctx)
+                + ctx.suppdata[1])
+
+
+def make_supp_engine(nv, mode, nt=30, seed=0, use_supp_model=True):
+    data, coords = _gauss_data(nv, nt, seed)
+    rng = np.random.default_rng(seed + 100)
+    supp = np.stack([rng.uniform(0.8, 1.2, nv),
+                     rng.uniform(-0.1, 0.1, nv)], 1).astype(np.float32)
+    if use_supp_model:
+        data = data * supp[:, 0:1] + supp[:, 1:2]
+    cls = SuppScaledModel if use_supp_model else GaussianActModel
+    options = RunOptions({"model": cls.name, "noise": "white",
+                          "max-iterations": "10", "dtype": "single",
+                          "engine-kernel": mode,
+                          "save-free-energy": True})
+    return VBInference(cls(), options, data, coords, suppdata=supp)
+
+
+def test_generic_loop_suppdata_matches_xla():
+    """A suppdata-using evaluate-only model runs in-kernel: the [S,V]
+    plane rides in as an extra kernel input, vmapped per lane."""
+    rx = make_supp_engine(200, "xla").run()
+    eng = make_supp_engine(200, "pallas-loop")
+    assert eng.use_nl_loop and eng._generic_eval_fn is not None
+    assert eng._generic_eval_fn.nsupp == 2
+    assert_match(rx, eng.run(), mean_rtol=1e-3)
+
+
+def test_generic_loop_suppdata_present_but_unused():
+    """Engine has suppdata, model ignores it — still eligible."""
+    rx = make_supp_engine(128, "xla", use_supp_model=False).run()
+    eng = make_supp_engine(128, "pallas-loop", use_supp_model=False)
+    assert eng.use_nl_loop and eng._generic_eval_fn is not None
+    assert_match(rx, eng.run(), mean_rtol=1e-3)
+
+
 def test_generic_probe_rejects_data_using_model():
     eng = make_gauss_engine(64, "pallas-loop", model_cls=DataUsingModel)
     assert eng._generic_eval_fn is None and not eng.use_nl_loop

@@ -52,11 +52,16 @@ class MyExpModel(Model):
         return params
 
     def evaluate(self, params, ctx, key=""):
+        # scalar indexing (not params[0::2], which traces to a gather)
+        # keeps this evaluate on the Mosaic-safe primitive set, so even
+        # WITHOUT the time_signal hook below the engine promotes the
+        # model to the whole-loop Pallas fast tier (docs/MIGRATION.md
+        # "Plugin models and the fast tiers")
         t = jnp.arange(ctx.nt, dtype=params.dtype) * self.dt
-        amps = params[0::2]
-        rates = params[1::2]
-        return jnp.sum(amps[None, :] * jnp.exp(-rates[None, :] * t[:, None]),
-                       axis=1)
+        sig = params[0] * jnp.exp(-params[1] * t)
+        for i in range(1, self.num):
+            sig = sig + params[2 * i] * jnp.exp(-params[2 * i + 1] * t)
+        return sig
 
     def init_posterior(self, data, means):
         data_max = jnp.max(data, axis=1)

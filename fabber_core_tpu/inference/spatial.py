@@ -225,6 +225,18 @@ class SpatialVBInference(VBInference):
                     inv = (jnp.asarray(inv_np), jnp.asarray(occ))
                 self._dense = (xs, ys, zs, jnp.asarray(off), inv)
 
+    def route_description(self):
+        """Human-readable sweep/stencil selection, logged by the
+        runner (mirrors VBInference.route_description)."""
+        stencil = ("dense-stencil neighbour sums"
+                   if self._dense is not None
+                   else "gather neighbour sums")
+        blocked = (f", blocked streaming sweeps ({self.block_voxels} "
+                   "voxels/block)" if self.block_voxels > 0 else "")
+        stats = " + fixed-design stats" if self.use_stats else ""
+        return (f"spatial {self.sweep_mode} sweeps, {stencil}"
+                f"{stats}{blocked}")
+
     def _bind(self, lo=0, hi=None):
         # spatial mode never chunks (MRF coupling needs the full graph)
         return super()._bind(lo, hi)._replace(neigh=self.neigh,

@@ -516,6 +516,36 @@ class VBInference:
         # termination well below this; cap is a safety net)
         self.max_iter_cap = int(self.detector.max_iterations) + 2
 
+    def route_description(self):
+        """Human-readable name of the update route this engine selected
+        — logged by the runner so a user (especially a plugin author)
+        can see whether their configuration landed on a fast tier and,
+        if not, which option gated it (docs/MIGRATION.md 'Plugin
+        models and the fast tiers')."""
+        if getattr(self, "use_spectral_fdet", False):
+            return ("spectral eigenbasis fixed point (pure XLA) "
+                    "with in-loop F-based convergence detector")
+        if getattr(self, "use_spectral", False):
+            return "spectral eigenbasis fixed point (pure XLA)"
+        if getattr(self, "use_nl_loop", False):
+            how = ("generic full-time mode, in-kernel evaluator "
+                   "derived from evaluate()"
+                   if self._generic_eval_fn is not None
+                   else "time_signal mode")
+            det = ", in-kernel pointzeroone detector" \
+                if self.nl_fdet else ""
+            return f"whole-loop nonlinear Pallas kernel ({how}{det})"
+        if getattr(self, "use_loop_kernel", False):
+            return ("whole-loop fixed-design Pallas kernel "
+                    f"({getattr(self.noise, 'name', '?')} noise stats)")
+        if getattr(self, "use_fused", False):
+            return "per-iteration fused Pallas kernel (time_signal mode)"
+        if getattr(self, "use_stats", False):
+            return "fixed-design sufficient-statistics route (XLA)"
+        if self.design is not None:
+            return "fixed-design direct route (XLA)"
+        return "generic-Jacobian XLA route"
+
     def _bind(self, lo=0, hi=None):
         """Per-run (optionally per-voxel-chunk) device array bundle."""
         hi = self.nvoxels if hi is None else hi

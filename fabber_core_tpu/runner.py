@@ -169,6 +169,7 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
         # through the same channel the C API trampoline uses
         # (ProgressCheck parity, rundata.h:102-169)
         engine.progress_cb = progress_cb
+        log.log(f"Vb::Engine route: {engine.route_description()}")
         if shard:
             from .parallel import shard_engine
             mesh = shard_engine(engine, log=log)
@@ -234,6 +235,8 @@ def _dispatch_distributed(method, model, options, data, coords, suppdata,
         cls, model, options, data, coords, suppdata,
         voxel_data_getter=getter, mesh=mesh, log=log)
     engine.progress_cb = progress_cb
+    if hasattr(engine, "route_description"):  # NLLS has no route tiers
+        log.log(f"Vb::Engine route: {engine.route_description()}")
 
     if method == "nlls":
         result = engine.run()

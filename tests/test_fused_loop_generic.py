@@ -228,6 +228,52 @@ def test_generic_loop_shard_map():
     assert_match(rx, eng.run(), mean_rtol=1e-3)
 
 
+def test_generic_loop_chunked_run():
+    """Voxel-chunked dispatch (bounded memory) composes with the
+    generic kernel mode: per-window bindings slice data AND suppdata."""
+    rx = make_supp_engine(200, "pallas-loop").run()
+
+    data, coords = _gauss_data(200, 30, 0)
+    rng = np.random.default_rng(100)
+    supp = np.stack([rng.uniform(0.8, 1.2, 200),
+                     rng.uniform(-0.1, 0.1, 200)], 1).astype(np.float32)
+    data = data * supp[:, 0:1] + supp[:, 1:2]
+    o = RunOptions({"model": SuppScaledModel.name, "noise": "white",
+                    "max-iterations": "10", "dtype": "single",
+                    "engine-kernel": "pallas-loop",
+                    "save-free-energy": True,
+                    "voxel-chunk-size": "64"})
+    eng = VBInference(SuppScaledModel(), o, data, coords, suppdata=supp)
+    assert eng.use_nl_loop and eng._generic_eval_fn is not None
+    rc = eng.run()
+    np.testing.assert_allclose(rx.means, rc.means, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(rx.free_energy, rc.free_energy,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_route_description_reflects_selection():
+    """The logged route line (runner.py) must track the engine's
+    actual selection flags."""
+    eng = make_gauss_engine(64, "pallas-loop")
+    assert "generic full-time mode" in eng.route_description()
+    eng = make_gauss_engine(64, "xla")
+    assert eng.route_description() == "generic-Jacobian XLA route"
+    eng = make_gauss_engine(
+        64, "pallas-loop",
+        extra={"convergence": "pointzeroone", "max-iterations": "15"})
+    assert "in-kernel pointzeroone detector" in eng.route_description()
+
+    # fixed-design model -> stats route (CPU: loop kernel not auto)
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, (64, 20)).astype(np.float32)
+    coords = np.stack([np.arange(64), np.zeros(64), np.zeros(64)], 1)
+    o = RunOptions({"model": "poly", "degree": "1", "noise": "white",
+                    "max-iterations": "5", "dtype": "single"})
+    eng = VBInference(get_model_class("poly")(o), o, data, coords)
+    assert "sufficient-statistics" in eng.route_description() \
+        or "spectral" in eng.route_description()
+
+
 def test_derive_time_local_eval_api():
     """Direct probe contract: accepted fn reproduces evaluate; data
     users and wrong shapes rejected."""

@@ -28,16 +28,32 @@ def _gen_plane(key, nv, nt, slab_fn):
 
     Bounded temps: a single full-plane normal draw materializes erf_inv
     temporaries (and, under the package's x64 default, f64 intermediates)
-    that exceed HBM beyond ~2M voxels. slab_fn(key, m) -> [nt,m] f32
-    generates one voxel slab including its per-voxel random parameters."""
+    that exceed HBM beyond ~2M voxels; and host-side concatenation of
+    slabs briefly doubles the plane. One jitted scan writes each slab
+    into a preallocated plane (XLA aliases the carry in place), so peak
+    memory is plane + one slab. The final slab is slid back to end at
+    nv (overlap rewritten, same distribution). slab_fn(key, m) ->
+    [nt,m] f32 generates one voxel slab including its per-voxel random
+    parameters."""
     import jax
     import jax.numpy as jnp
-    slab = 1 << 19
+    slab = min(1 << 19, nv)
     nslab = (nv + slab - 1) // slab
     keys = jax.random.split(key, nslab)
-    parts = [slab_fn(keys[i], min(slab, nv - i * slab))
-             for i in range(nslab)]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    starts = np.arange(nslab, dtype=np.int32) * slab
+    starts[-1] = nv - slab
+
+    @jax.jit
+    def gen(keys, starts):
+        def body(plane, ks):
+            k, lo = ks
+            return jax.lax.dynamic_update_slice(
+                plane, slab_fn(k, slab), (jnp.int32(0), lo)), None
+        plane, _ = jax.lax.scan(
+            body, jnp.zeros((nt, nv), jnp.float32), (keys, starts))
+        return plane
+
+    return gen(keys, jnp.asarray(starts))
 
 
 def build_engine(config, nv):
@@ -143,12 +159,14 @@ NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
 # Per-config voxel budget as a multiple of FABBER_BENCH_VOXELS. The
 # fixed-design fast tiers (poly spectral / spatial stencil) are
 # tunnel-RTT-bound at 4M voxels (~2-4ms device time in a ~50ms wall),
-# so they run 2x the budget to amortize the dispatch round trip —
-# measured 82M -> 102M voxels/s at 4M -> 8M; 12M exceeds the single-
-# dispatch HBM envelope. The kernel-bound configs (biexp/ar1) run the
-# plain budget. The stderr line and the utilization fields state each
-# config's actual voxel count; docs quote these same numbers.
-CONFIG_SCALE = {"poly": 2.0, "biexp": 1.0, "biexp-fdet": 1.0,
+# so they run a larger budget to amortize the dispatch round trip.
+# poly runs 4x (16M): past the ~11M single-dispatch HBM envelope the
+# engine's in-program chunk streaming keeps it to ONE dispatch (the
+# r3 ceiling — serialized per-window round trips beyond 8M — is gone).
+# The kernel-bound configs (biexp/ar1) run the plain budget. The
+# stderr line and the utilization fields state each config's actual
+# voxel count; docs quote these same numbers.
+CONFIG_SCALE = {"poly": 4.0, "biexp": 1.0, "biexp-fdet": 1.0,
                 "ar1": 1.0, "spatial": 2.0}
 
 # v5e single-chip ceilings (public spec): 197 TFLOP/s bf16 MXU,
@@ -156,6 +174,12 @@ CONFIG_SCALE = {"poly": 2.0, "biexp": 1.0, "biexp-fdet": 1.0,
 # "fast" against the hardware roof rather than the C++ baseline alone.
 HBM_BYTES_PER_SEC = 819e9
 PEAK_F32_FLOPS = 49e12
+# VPU elementwise roofline ESTIMATE: the (8,128) vector unit with ~4
+# ALUs per cell at the v5e clock is order 4 TFLOP/s f32 — an
+# order-of-magnitude reference for the transcendental-heavy kernels
+# (exp/log/div count as one "flop" in the work model but cost multiple
+# VPU ops, so true VPU occupancy is higher than this ratio shows).
+PEAK_VPU_FLOPS = 4e12
 
 
 def _work_model(eng, config, nv, nt, iters):
@@ -264,18 +288,80 @@ def _run_config(config, nv, quiet=False):
         sp_loop = eng.compiled_sweeps()
 
         def run_once():
-            out = sp_loop(s0, bind)
-            jax.block_until_ready(out.post.means)
-            return out
+            jax.block_until_ready(sp_loop(s0, bind).post.means)
+
+        # device-time chain: k sweep-loops back to back INSIDE one
+        # program, each feeding the previous output state (no host
+        # dispatch between them, and the data dependence defeats CSE)
+        chains = {}
+
+        import jax.numpy as jnp
+        # seed `its` so the chain carry matches the loop output pytree
+        s0c = s0._replace(its=jnp.int32(0))
+
+        def dispatch_k(k):
+            if k not in chains:
+                def chain(s, b):
+                    # the sweep loop takes its=() and returns its=int32,
+                    # so strip it on entry to keep the carry consistent
+                    return jax.lax.fori_loop(
+                        0, k,
+                        lambda i, st: sp_loop(st._replace(its=()), b), s)
+                chains[k] = jax.jit(chain)
+            return chains[k](s0c, bind).post.means
 
         return _measure(run_once, eng.nvoxels, iters, config,
-                        NT_LABELS[config], quiet, eng=eng)
+                        NT_LABELS[config], quiet, eng=eng,
+                        dispatch_k=dispatch_k)
+
+    import jax.numpy as jnp
+    chunk = min(eng._chunk_size(), nv)
+    can_stream = (eng._can_trace_init(None)
+                  and getattr(eng, "mesh", None) is None)
+
+    def make_dispatch_k(schunk):
+        """Device-time probe: the window list tiled k times inside ONE
+        compiled program (vb.py compiled_streamed scan — iterations
+        carry a data dependence, so XLA cannot CSE the repeats; on the
+        remote tunnel separate dispatches serialize with a full RTT
+        each, so multi-dispatch backpressure measures RTT, not device
+        time)."""
+        streamed = eng.compiled_streamed(schunk)
+        sbind = eng._bind(build_fused=False)
+        nwin = -(-nv // schunk)
+        starts = np.arange(nwin, dtype=np.int64) * schunk
+        starts[-1] = nv - schunk
+
+        def dispatch_k(k):
+            sk = jnp.asarray(np.tile(starts, k), jnp.int32)
+            return streamed(sbind, sk)[0]
+
+        return dispatch_k, streamed, sbind, starts, nwin
+
+    if chunk < nv and can_stream:
+        schunk = eng._stream_chunk()
+        if schunk is not None:
+            # in-program chunk streaming: the whole volume is ONE
+            # dispatch — the window loop runs on device instead of one
+            # serialized tunnel round trip per window
+            schunk = min(schunk, nv)
+            dispatch_k, streamed, sbind, starts, nwin = \
+                make_dispatch_k(schunk)
+            print(f"# streamed: {nwin} x {schunk}-voxel windows in one "
+                  "dispatch", file=sys.stderr)
+            starts1 = jnp.asarray(starts, jnp.int32)
+
+            def run_once():
+                jax.block_until_ready(streamed(sbind, starts1)[0])
+
+            return _measure(run_once, nv, iters, config,
+                            NT_LABELS[config], quiet, eng=eng,
+                            dispatch_k=dispatch_k)
 
     # single-dispatch path: initial state + VB loop in one compiled
     # program per window (eager init ops are host round trips on the
     # remote-TPU tunnel)
     full = eng.compiled_full()
-    chunk = min(eng._chunk_size(), nv)
     windows = [(lo, min(lo + chunk, nv)) for lo in range(0, nv, chunk)]
     # fixed-size windows (the engine's chunked-run convention)
     windows = [(hi - chunk, hi) if hi - lo < chunk else (lo, hi)
@@ -293,13 +379,15 @@ def _run_config(config, nv, quiet=False):
         for bind in binds:
             final, _ = full(bind)
         jax.block_until_ready(final.post.means)
-        return final
 
+    dispatch_k = make_dispatch_k(chunk)[0] \
+        if can_stream and len(windows) == 1 else None
     return _measure(run_once, nv, iters, config, NT_LABELS[config], quiet,
-                    eng=eng)
+                    eng=eng, dispatch_k=dispatch_k)
 
 
-def _measure(run_once, nv, iters, config, nt_label, quiet=False, eng=None):
+def _measure(run_once, nv, iters, config, nt_label, quiet=False, eng=None,
+             dispatch_k=None):
     import jax
     t0 = time.perf_counter()
     run_once()  # warmup (compile)
@@ -313,6 +401,32 @@ def _measure(run_once, nv, iters, config, nt_label, quiet=False, eng=None):
         t0 = time.perf_counter()
         run_once()
         elapsed = min(elapsed, time.perf_counter() - t0)
+
+    # Device time by in-program work scaling: run the whole computation
+    # 1x and Kx INSIDE one compiled program each (dispatch_k tiles the
+    # window scan / chains sweep loops — a data dependence per repeat,
+    # so XLA cannot CSE them) and take the slope. The fixed dispatch
+    # overhead (tunnel RTT, ~26ms regardless of work — and on this
+    # tunnel SEPARATE dispatches serialize with a full RTT each, so
+    # queue-backpressure timing cannot work) cancels in the
+    # difference; what remains is true device execution time.
+    device_time = None
+    if dispatch_k is not None \
+            and os.environ.get("FABBER_BENCH_DEVTIME", "1") != "0":
+        try:
+            k = int(os.environ.get("FABBER_BENCH_DEVTIME_K", 3))
+            walls = {}
+            for kk in (1, k):
+                jax.block_until_ready(dispatch_k(kk))  # warmup/compile
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(dispatch_k(kk))
+                    best = min(best, time.perf_counter() - t0)
+                walls[kk] = best
+            device_time = max((walls[k] - walls[1]) / (k - 1), 1e-9)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"# device-time probe failed: {e}", file=sys.stderr)
 
     voxels_per_sec = nv / elapsed
     result = {
@@ -336,6 +450,21 @@ def _measure(run_once, nv, iters, config, nt_label, quiet=False, eng=None):
             "vs_hbm_peak": round(
                 bytes_v * nv / elapsed / HBM_BYTES_PER_SEC, 4),
         }
+        if device_time is not None:
+            hbm_frac = bytes_v * nv / device_time / HBM_BYTES_PER_SEC
+            vpu_frac = flops_v * nv / device_time / PEAK_VPU_FLOPS
+            mxu_frac = flops_v * nv / device_time / PEAK_F32_FLOPS
+            util.update({
+                "device_time_s": round(device_time, 6),
+                "device_gbps": round(bytes_v * nv / device_time / 1e9, 1),
+                "device_vs_hbm_peak": round(hbm_frac, 4),
+                "device_vs_vpu_est": round(vpu_frac, 4),
+                "device_vs_f32_mxu_peak": round(mxu_frac, 4),
+                # which roof the route is nearer on DEVICE time: the
+                # honest "how far from speed-of-light" classification
+                "bound": ("HBM" if hbm_frac >= max(vpu_frac, mxu_frac)
+                          else ("MXU" if mxu_frac >= vpu_frac else "VPU")),
+            })
     if not quiet:
         print(json.dumps(result))
     print(f"# config={config}: {nv} voxels x {iters} VB iterations "
@@ -343,7 +472,12 @@ def _measure(run_once, nv, iters, config, nt_label, quiet=False, eng=None):
           f"on {jax.devices()[0].platform}"
           + (f"; util {util['vs_hbm_peak']:.1%} HBM / "
              f"{util['vs_f32_peak']:.1%} f32-peak (lower bounds: wall "
-             f"includes tunnel RTT)" if util else ""), file=sys.stderr)
+             f"includes tunnel RTT)" if util else "")
+          + (f"; device {device_time * 1e3:.1f}ms -> "
+             f"{util['device_vs_hbm_peak']:.1%} HBM, "
+             f"{util['device_vs_vpu_est']:.1%} VPU-est, "
+             f"{util['bound']}-bound" if device_time is not None else ""),
+          file=sys.stderr)
     return {"voxels_per_sec": voxels_per_sec, "elapsed": elapsed,
             "compile_s": compile_time, "utilization": util}
 

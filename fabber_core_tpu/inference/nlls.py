@@ -13,9 +13,30 @@ factors and accept/reject masks:
 
 Posterior: precision = J'J / mse with a 1e-6 diagonal floor
 (inference_nlls.cc:175-192); failed lanes get precision 1e-12*I.
+
+Fast tier — fixed-design sufficient statistics: for models linear in
+their (untransformed) parameters (poly / linear design matrices,
+model.fixed_design) the Jacobian is the constant design D, so the
+whole optimizer loop runs on P-dim planes:
+
+    cost(m)  = r0'r0 - 2 d'(D'r0) + d'(D'D)d,   d = m - m0
+    J'r(m)   = D'r0 - (D'D) d
+    J'J      = D'D                               (voxel-invariant)
+
+with m0 the per-voxel OLS reference point (cost assembles from
+residual-scale terms, same cancellation-safe construction as the VB
+DesignStats, noise/white.py). One [T,V] pass builds the stats; the
+iteration loop never touches the data plane again — the exact
+pathology fix the VB stats route applies to Eq 19-22
+(inference_nlls.cc:230-293 recompute J and the T-length residual
+every callback).
+
+Execution is windowed like the VB engine: one compiled program per
+fixed-size voxel window (initial estimates built on device when
+traceable), so device memory is bounded at any volume size.
 """
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +46,7 @@ from ..models.base import resolve_parameters, PRIOR_IMAGE
 from ..ops import smallmat as sm
 from ..options import OptionSpec, OPT_BOOL, OPT_INT, OPT_STR
 from .linearize import Linearizer
-from .vb import VBResult
+from .vb import VBResult, _concat_results
 
 LAMBDA_INIT = 1e-3
 LAMBDA_GROW = 10.0
@@ -44,6 +65,14 @@ class NLLSState(NamedTuple):
     its: jnp.ndarray     # [V] per-voxel optimizer iterations
                          # (inference_nlls.cc:110-153 runs the optimizer
                          # per voxel; lanes stop counting once done)
+
+
+class NLLSStats(NamedTuple):
+    """Fixed-design sufficient statistics (see module docstring)."""
+    m0: Any    # [P,V] OLS reference point
+    rtr: Any   # [V]   r0'r0, r0 = y - D m0 (masked rows zeroed)
+    dtr: Any   # [P,V] D'r0
+    dtd: Any   # [P,P] D'D (voxel-invariant)
 
 
 class NLLSInference:
@@ -102,9 +131,28 @@ class NLLSInference:
         self.linearizer = Linearizer(model, self.params, self.nt,
                                      mode=lin_mode)
 
+        # Constant-Jacobian fast tier (same gate as the VB engine,
+        # vb.py): linear-in-parameters model, identity transforms,
+        # autodiff linearization
+        self.design = None
+        if (lin_mode == "auto"
+                and all(pm.transform.is_identity for pm in self.params)):
+            d = model.fixed_design(self.nt)
+            if d is not None:
+                self.design = jnp.asarray(d, self.dtype)
+        self.use_stats = self.design is not None
+
+    def route_description(self):
+        """Which optimizer arithmetic this configuration landed on
+        (logged by the runner, mirroring the VB route line)."""
+        if self.use_stats:
+            return ("fixed-design sufficient-statistics NLLS "
+                    "(P-dim LM loop, XLA)")
+        return "generic-Jacobian NLLS (per-iteration linearization)"
+
     def initial_means(self):
         """Initial estimate from the model's posterior defaults;
-        returns [P,V] planes."""
+        returns [P,V] planes (host path; used when not traceable)."""
         v, p = self.nvoxels, self.nparams
         means = np.zeros((v, p))
         for i, spec in enumerate(self.params):
@@ -129,12 +177,33 @@ class NLLSInference:
                 jnp.asarray(means[:, i])))
         return jnp.asarray(means.T, self.dtype)
 
-    def _bind(self):
+    def _can_trace_init(self):
+        return (all(spec.prior_type != PRIOR_IMAGE for spec in self.params)
+                and self.options.get_string(
+                    "fwd-initial-posterior",
+                    "modeldefault") == "modeldefault")
+
+    def _initial_means_traced(self, data):
+        """Device-built initial estimates (pure function of the data
+        window; no volume-sized host constants in the program)."""
+        v = data.shape[1]
+        cols = [jnp.full((v,), spec.post.mean, self.dtype)
+                for spec in self.params]
+        means = jnp.stack(cols, axis=1)  # [V,P] model space
+        means = self.model.init_posterior(data.T, means)
+        lat = [self.params[i].transform.to_latent(means[:, i])
+               for i in range(self.nparams)]
+        return jnp.stack(lat).astype(self.dtype)
+
+    def _bind(self, lo=0, hi=None):
         from .vb import RunBindings
-        supp = self.suppdata if self.suppdata is not None \
-            else jnp.zeros((0, self.nvoxels), self.dtype)
-        return RunBindings(data=self.data, coords=self.coords, supp=supp,
-                           prior_base_means=())
+        hi = self.nvoxels if hi is None else hi
+        sl = slice(None) if (lo == 0 and hi == self.nvoxels) \
+            else slice(lo, hi)
+        supp = self.suppdata[:, sl] if self.suppdata is not None \
+            else jnp.zeros((0, hi - lo), self.dtype)
+        return RunBindings(data=self.data[:, sl], coords=self.coords[:, sl],
+                           supp=supp, prior_base_means=())
 
     def evaluate_model(self, means_planes, key=""):
         """Model prediction [T,V] at latent means [P,V] (for outputs)."""
@@ -152,13 +221,39 @@ class NLLSInference:
         return lin.evaluate(jnp.asarray(means_planes, self.dtype),
                             bind.data, bind.coords, bind.supp)
 
-    def _cost(self, params, bind):
+    # -- fixed-design sufficient statistics -------------------------------
+    def _make_stats(self, bind):
+        """One [T,V] pass -> NLLSStats (runs inside the jitted solve)."""
+        dw = self.design * self.tmask          # [T,P] masked design
+        yw = bind.data * self.tmask            # [T,V]
+        dtd = dw.T @ dw                        # [P,P]
+        dty = dw.T @ yw                        # [P,V]
+        chol, ok = sm.cholesky_jittered(dtd[:, :, None])
+        m0 = sm.solve_chol_vec(chol, dty)
+        m0 = jnp.where(ok & jnp.all(jnp.isfinite(m0), axis=0), m0, 0.0)
+        r0 = yw - dw @ m0
+        rtr = jnp.sum(r0 * r0, axis=0)
+        dtr = dw.T @ r0
+        return NLLSStats(m0=m0, rtr=rtr, dtr=dtr, dtd=dtd)
+
+    def _cost(self, params, bind, stats=None):
+        if stats is not None:
+            d = params - stats.m0
+            quad = jnp.einsum("pv,pq,qv->v", d, stats.dtd, d)
+            return stats.rtr - 2.0 * jnp.sum(d * stats.dtr, axis=0) + quad
         pred = self.linearizer.evaluate(params, bind.data, bind.coords,
                                         bind.supp)
         r = (bind.data - pred) * self.tmask
         return jnp.sum(r * r, axis=0)
 
-    def _jtj_jtr(self, params, bind):
+    def _jtj_jtr(self, params, bind, stats=None):
+        if stats is not None:
+            d = params - stats.m0
+            jtr = stats.dtr - jnp.einsum("pq,qv->pv", stats.dtd, d)
+            jtj = jnp.broadcast_to(
+                stats.dtd[:, :, None],
+                stats.dtd.shape + (params.shape[-1],))
+            return jtj, jtr
         offset, jac = self.linearizer(params, bind.data, bind.coords,
                                       bind.supp)
         jac = jac * self.tmask[None]
@@ -170,8 +265,8 @@ class NLLSInference:
         jtr = jnp.stack([jnp.sum(jac[i] * r, axis=0) for i in range(p)])
         return jtj, jtr
 
-    def _step(self, s, bind):
-        jtj, jtr = self._jtj_jtr(s.params, bind)
+    def _step(self, s, bind, stats=None):
+        jtj, jtr = self._jtj_jtr(s.params, bind, stats)
         if self.marquardt:
             damp = sm.diag_of(jtj)
         else:
@@ -181,7 +276,7 @@ class NLLSInference:
         delta = sm.solve_chol_vec(chol, jtr)
 
         trial = s.params + delta
-        trial_cost = self._cost(trial, bind)
+        trial_cost = self._cost(trial, bind, stats)
         better = (trial_cost < s.cost) & jnp.isfinite(trial_cost)
 
         params = jnp.where(better[None], trial, s.params)
@@ -197,34 +292,92 @@ class NLLSInference:
             done, s.it + 1,
             s.its + (~keep).astype(s.its.dtype))
 
-    def run(self):
-        bind = self._bind()
-        p0 = self.initial_means()
+    def _solve_body(self, p0, bind):
+        stats = self._make_stats(bind) if self.use_stats else None
+        nv = bind.data.shape[1]
         s0 = NLLSState(
-            params=p0, cost=self._cost(p0, bind),
-            lam=jnp.full(self.nvoxels, LAMBDA_INIT, self.dtype),
-            done=jnp.zeros(self.nvoxels, bool),
+            params=p0, cost=self._cost(p0, bind, stats),
+            lam=jnp.full(nv, LAMBDA_INIT, self.dtype),
+            done=jnp.zeros(nv, bool),
             it=jnp.array(0, jnp.int32),
-            its=jnp.zeros(self.nvoxels, jnp.int32))
+            its=jnp.zeros(nv, jnp.int32))
+        s = jax.lax.while_loop(
+            lambda s: (~jnp.all(s.done)) & (s.it < self.max_its),
+            lambda st: self._step(st, bind, stats), s0)
+        # posterior precision = J'J/mse, diagonal floor 1e-6
+        jtj, _ = self._jtj_jtr(s.params, bind, stats)
+        mse = s.cost / (self.n_unmasked - self.nparams)
+        prec = jtj / mse[None, None]
+        d = sm.diag_of(prec)
+        prec = sm.add_diag(jnp.where(jnp.eye(self.nparams, dtype=bool)
+                                     [:, :, None], 0.0, prec),
+                           jnp.maximum(d, PREC_DIAG_FLOOR))
+        chol, _ = sm.cholesky_jittered(prec)
+        cov = sm.inverse_from_chol(chol)
+        return s, prec, cov
 
-        @jax.jit
-        def solve(s, bind):
-            s = jax.lax.while_loop(
-                lambda s: (~jnp.all(s.done)) & (s.it < self.max_its),
-                lambda st: self._step(st, bind), s)
-            # posterior precision = J'J/mse, diagonal floor 1e-6
-            jtj, _ = self._jtj_jtr(s.params, bind)
-            mse = s.cost / (self.n_unmasked - self.nparams)
-            prec = jtj / mse[None, None]
-            d = sm.diag_of(prec)
-            for i in range(self.nparams):
-                prec = prec.at[i, i].set(jnp.maximum(d[i], PREC_DIAG_FLOOR))
-            chol, _ = sm.cholesky_jittered(prec)
-            cov = sm.inverse_from_chol(chol)
-            return s, prec, cov
+    def _chunk_size(self):
+        """Voxels per device pass (memory-bounded execution at any
+        volume size, mirroring the VB engine's convention)."""
+        import os as _os
+        explicit = self.options.get_int("voxel-chunk-size", 0)
+        if explicit > 0:
+            return explicit
+        item = jnp.dtype(self.dtype).itemsize
+        p, t = self.nparams, self.nt
+        if self.use_stats:
+            # one [T,V] stats pass; loop temps are P-dim planes
+            per_vox = (3 * t + 8 * p * p + 10 * p + 24) * item
+        else:
+            # per-iteration [P,T,V] Jacobian + autodiff intermediates
+            per_vox = (t * (3 * p + 8) + 6 * p * p + 10 * p + 24) * item
+        budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+        return max(16384, int(budget / per_vox))
 
-        s, prec, cov = solve(s0, bind)
+    def run(self):
+        traced = self._can_trace_init()
+        if traced:
+            @jax.jit
+            def solve_full(bind):
+                return self._solve_body(
+                    self._initial_means_traced(bind.data), bind)
+        else:
+            solve_win = jax.jit(self._solve_body)
+            p0_full = self.initial_means()
 
+        chunk = min(self._chunk_size(), self.nvoxels)
+
+        def run_window(lo, hi):
+            bind = self._bind(lo, hi)
+            if traced:
+                return solve_full(bind)
+            return solve_win(p0_full[:, lo:hi], bind)
+
+        windows = [(lo, min(lo + chunk, self.nvoxels))
+                   for lo in range(0, self.nvoxels, chunk)]
+        # fixed-size windows, final window slid back (one trace)
+        windows = [(hi - chunk, hi) if hi - lo < chunk else (lo, hi)
+                   for lo, hi in windows]
+        results = []
+        prev_hi = 0
+        for lo, hi in windows:
+            take_from = prev_hi - lo  # overlap of the slid last window
+            s, prec, cov = run_window(lo, hi)
+            res = self._to_result(s, cov, hi - lo)
+            if take_from:
+                res = jax.tree_util.tree_map(
+                    lambda x: x[take_from:]
+                    if hasattr(x, "ndim") and x.ndim >= 1
+                    and x.shape[0] == chunk else x, res)
+            results.append(res)
+            prev_hi = hi
+            cb = getattr(self, "progress_cb", None)
+            if cb is not None:
+                cb(hi, self.nvoxels)
+        return results[0] if len(results) == 1 \
+            else _concat_results(results)
+
+    def _to_result(self, s, cov, nv):
         means = self._fetch(s.params).T.copy()              # [V,P]
         cov = np.moveaxis(self._fetch(cov), -1, 0).copy()   # [V,P,P]
         bad = ~(np.isfinite(means).all(axis=1)
@@ -237,8 +390,8 @@ class NLLSInference:
 
         return VBResult(
             means=means, cov=cov,
-            noise_means=np.zeros((self.nvoxels, 0)),
-            noise_cov=np.zeros((self.nvoxels, 0, 0)),
+            noise_means=np.zeros((nv, 0)),
+            noise_cov=np.zeros((nv, 0, 0)),
             free_energy=None, fhistory=None,
-            iterations=self._fetch(s.its).copy(),
+            iterations=np.asarray(self._fetch(s.its)).copy(),
             bad_voxels=bad)

@@ -199,6 +199,11 @@ class VBInference:
                        "Voxels per device pass (0 = auto from memory "
                        "budget; bounds device memory at any volume size)",
                        default="0"),
+            OptionSpec("chunk-streaming", OPT_STR,
+                       "Chunked-volume execution: auto (stream the "
+                       "window loop inside ONE compiled dispatch when "
+                       "the data plane fits on device) or off "
+                       "(host-side dispatch per window)", default="auto"),
             OptionSpec("engine-kernel", OPT_STR,
                        "Iteration backend: auto (spectral/fused Pallas "
                        "on TPU when eligible), pallas (per-iteration "
@@ -546,8 +551,12 @@ class VBInference:
             return "fixed-design direct route (XLA)"
         return "generic-Jacobian XLA route"
 
-    def _bind(self, lo=0, hi=None):
-        """Per-run (optionally per-voxel-chunk) device array bundle."""
+    def _bind(self, lo=0, hi=None, build_fused=True):
+        """Per-run (optionally per-voxel-chunk) device array bundle.
+
+        build_fused=False skips the row-padded fused_data plane: the
+        streamed path (compiled_streamed) pads per WINDOW inside the
+        compiled program, so the full-volume copy never exists."""
         hi = self.nvoxels if hi is None else hi
         if lo == 0 and hi == self.nvoxels:
             # full range: no slicing ops (each eager slice is a device
@@ -561,8 +570,8 @@ class VBInference:
         if base.shape[-1] == self.nvoxels:
             base = base[:, sl]
         fused_data = ()
-        if getattr(self, "use_fused", False) \
-                or getattr(self, "use_nl_loop", False):
+        if build_fused and (getattr(self, "use_fused", False)
+                            or getattr(self, "use_nl_loop", False)):
             from ..ops.fused_vb import pad_time
             tp = pad_time(self.nt)
             d = self.data[:, sl].astype(self.dtype)  # kernel wants f32
@@ -1409,7 +1418,188 @@ class VBInference:
 
         return full
 
-    def _chunk_size(self):
+    # -- in-program chunk streaming ---------------------------------------
+    def compiled_streamed(self, chunk):
+        """Whole-volume single-dispatch execution: lax.scan over
+        fixed-size voxel windows INSIDE one compiled program.
+
+        The host-chunked fallback (the loop in _run_vb) dispatches one
+        compiled program per window; on the remote-TPU tunnel each
+        dispatch pays a full ~26ms round trip SERIALLY, so beyond the
+        single-dispatch HBM envelope throughput used to collapse.
+        Here the window loop runs on device: the [T,V] data plane is
+        the only volume-scale input, per-window temporaries stay
+        window-sized, and the outputs are written into volume-scale
+        planes with lax.dynamic_update_slice. The final window is slid
+        back to end exactly at V (same convention as the host path);
+        overlapping voxels recompute identically — all routes are
+        lane-independent — so the overwrite is a no-op.
+
+        Returns a jitted fn(bind, starts[int32 W]) -> (means [P,V],
+        cov [P,P,V], noise pytree [..,V], f [V], its [V], fhist, itmax).
+        """
+        inner = self.compiled_loop()
+        self._ensure_noise_prior()
+        needs_fused = (getattr(self, "use_fused", False)
+                       or getattr(self, "use_nl_loop", False))
+        p, nt = self.nparams, self.nt
+        if needs_fused:
+            from ..ops.fused_vb import pad_time
+            tp = pad_time(nt)
+
+        def window_bind(bind, lo):
+            dsl = jax.lax.dynamic_slice
+            z = jnp.int32(0)  # literal 0 would promote to i64 under x64
+            d = dsl(bind.data, (z, lo), (nt, chunk))
+            coords = dsl(bind.coords, (z, lo), (3, chunk))
+            supp = dsl(bind.supp, (z, lo), (bind.supp.shape[0], chunk))
+            base = bind.prior_base_means
+            if base.shape[-1] != 1:
+                base = dsl(base, (z, lo), (p, chunk))
+            locked = bind.locked_centres
+            if not isinstance(locked, tuple):
+                locked = dsl(locked, (z, lo), (p, chunk))
+            fused = ()
+            if needs_fused:
+                df = d.astype(self.dtype)
+                fused = df if tp == nt else jnp.pad(
+                    df, ((0, tp - nt), (0, 0)), mode="edge")
+            return bind._replace(data=d, coords=coords, supp=supp,
+                                 prior_base_means=base,
+                                 locked_centres=locked, fused_data=fused)
+
+        # output-plane prototypes at window size (shape/dtype only)
+        _, noise_proto = self.noise.initial_state(1, self.dtype)
+
+        @jax.jit
+        def streamed(bind, starts):
+            nv = bind.data.shape[1]
+
+            def vol(proto_shape, dtype):
+                return jnp.zeros(proto_shape[:-1] + (nv,), dtype)
+
+            outs0 = (
+                vol((p, 0), self.dtype),                 # means
+                vol((p, p, 0), self.dtype),              # cov
+                jax.tree_util.tree_map(
+                    lambda x: vol(x.shape, x.dtype), noise_proto),
+                vol((0,), self.dtype),                   # f
+                vol((0,), jnp.int32),                    # its
+                vol((self.max_iter_cap, 0), self.dtype)
+                if self.save_fhist else (),              # fhist
+                jnp.int32(0),                            # itmax
+            )
+
+            def body(outs, lo):
+                wbind = window_bind(bind, lo)
+                s0 = self.initial_state(lo=0, hi=chunk, data=wbind.data)
+                fin, _ = inner(s0, wbind)
+
+                def upd(full, w):
+                    start = (jnp.int32(0),) * (full.ndim - 1) + (lo,)
+                    return jax.lax.dynamic_update_slice(full, w, start)
+
+                means, cov, noise, f, its, fhist, itn = outs
+                means = upd(means, fin.post.means)
+                cov = upd(cov, fin.post.cov)
+                noise = jax.tree_util.tree_map(upd, noise, fin.post.noise)
+                f = upd(f, fin.f)
+                its = upd(its, fin.conv.its)
+                if self.save_fhist:
+                    # rows past this window's own iteration count keep
+                    # the final F (the host path's _concat_results pads
+                    # shorter chunk histories the same way)
+                    last = jax.lax.dynamic_index_in_dim(
+                        fin.fhist, jnp.maximum(fin.it - 1, 0), 0,
+                        keepdims=False)
+                    rows = jnp.arange(self.max_iter_cap)[:, None] < fin.it
+                    fhist = upd(fhist, jnp.where(rows, fin.fhist,
+                                                 last[None, :]))
+                itn = jnp.maximum(itn, fin.it)
+                return (means, cov, noise, f, its, fhist, itn), None
+
+            outs, _ = jax.lax.scan(body, outs0, starts)
+            return outs
+
+        return streamed
+
+    def _stream_result_bytes(self):
+        """Per-voxel bytes of the streamed output planes (resident for
+        the whole dispatch, on top of the data plane)."""
+        item = jnp.dtype(self.dtype).itemsize
+        _, noise_proto = self.noise.initial_state(1, self.dtype)
+        nplanes = sum(int(np.prod(x.shape[:-1]))
+                      for x in jax.tree_util.tree_leaves(noise_proto))
+        per = (self.nparams + self.nparams ** 2 + nplanes + 1) * item + 4
+        if self.save_fhist:
+            per += self.max_iter_cap * item
+        return per
+
+    def _stream_chunk(self):
+        """Window size for the streamed path: the usual per-window
+        budget minus the volume-scale residents (data plane + output
+        planes). Returns None when the residents alone exceed the
+        budget — the volume cannot live on device, fall back to
+        host-side chunk dispatches."""
+        explicit = self.options.get_int("voxel-chunk-size", 0)
+        if explicit > 0:
+            return explicit
+        budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+        resident = (self.nt * jnp.dtype(self.store_dtype).itemsize
+                    + self._stream_result_bytes()) * self.nvoxels
+        left = budget - resident
+        if left < 0.05 * budget:
+            return None
+        return self._chunk_size(budget_bytes=left)
+
+    def _run_streamed(self, chunk):
+        nv = self.nvoxels
+        nwin = -(-nv // chunk)
+        starts = np.arange(nwin, dtype=np.int64) * chunk
+        starts[-1] = nv - chunk
+        streamed = self.compiled_streamed(chunk)
+        outs = streamed(self._bind(build_fused=False),
+                        jnp.asarray(starts, jnp.int32))
+        cb = getattr(self, "progress_cb", None)
+        if cb is not None:
+            cb(nv, nv)
+        return self._streamed_to_result(outs)
+
+    def _streamed_to_result(self, outs):
+        means_p, cov_p, noise, f, its, fhist_p, itn = outs
+        noise_host = jax.tree_util.tree_map(self._fetch, noise)
+        noise_means, noise_cov = self.noise.state_to_mvn(noise_host)
+
+        means = self._fetch(means_p).T.copy()              # [V,P]
+        cov = np.moveaxis(self._fetch(cov_p), -1, 0).copy()
+        nmeans = np.array(noise_means)
+        ncov = np.array(noise_cov)
+        f_h = np.asarray(self._fetch(f)) if self.need_f else None
+
+        bad = ~(np.isfinite(means).all(axis=1)
+                & np.isfinite(cov).reshape(cov.shape[0], -1).all(axis=1)
+                & np.isfinite(nmeans).all(axis=1))
+        if bad.any():
+            p, q = means.shape[1], nmeans.shape[1]
+            means[bad] = 0.0
+            cov[bad] = np.eye(p)
+            nmeans[bad] = 0.0
+            ncov[bad] = np.eye(q)
+
+        fhist = None
+        if self.save_fhist:
+            nit = int(np.asarray(itn))
+            fhist = self._fetch(fhist_p)[:nit]
+            if f_h is not None:
+                fhist = np.concatenate([fhist, f_h[None]], axis=0)
+
+        return VBResult(
+            means=means, cov=cov, noise_means=nmeans, noise_cov=ncov,
+            free_energy=f_h, fhistory=fhist,
+            iterations=np.asarray(self._fetch(its)),
+            bad_voxels=bad)
+
+    def _chunk_size(self, budget_bytes=None):
         """Voxels per device pass. 0 = auto from a memory budget.
 
         Chunking bounds device memory at any volume size: each chunk
@@ -1429,7 +1619,8 @@ class VBInference:
             # [T,V] data + one matmul operand for the one-time stats
             # pass, plus the P x P posterior outputs
             per_vox = (2 * t + 3 * p * p + 6 * p + 12) * item
-            budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+            budget = budget_bytes if budget_bytes is not None else \
+                float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
             return max(16384, int(budget / per_vox))
         # state+best (x2 for while-loop double buffering)
         per_vox = 4 * (3 * p * p + 8 * p + 24) * item
@@ -1446,7 +1637,8 @@ class VBInference:
         else:
             per_vox += t * (6 if self.design is not None
                             else 8 * (p + 1)) * item
-        budget = float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+        budget = budget_bytes if budget_bytes is not None else \
+            float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
         return max(16384, int(budget / per_vox))
 
     def run(self, continue_means=None, continue_cov=None, continue_noise=None):
@@ -1573,6 +1765,20 @@ class VBInference:
         # the compiled program (host round trips cost ~ms each on the
         # remote-TPU tunnel)
         traced_init = self._can_trace_init(continue_means)
+
+        # In-program chunk streaming: when the volume exceeds one
+        # window but the data plane + result planes fit on device, run
+        # the window loop INSIDE one compiled program (one dispatch for
+        # the whole volume) instead of serialized per-window dispatches
+        if (chunk < self.nvoxels and traced_init
+                and continue_noise is None
+                and getattr(self, "mesh", None) is None
+                and type(self) is VBInference
+                and self.options.get_string("chunk-streaming",
+                                            "auto") != "off"):
+            schunk = self._stream_chunk()
+            if schunk is not None:
+                return self._run_streamed(min(schunk, self.nvoxels))
         full = self.compiled_full() if traced_init else None
         loop = None if traced_init else self.compiled_loop()
 

@@ -200,6 +200,8 @@ def _dispatch(method, model, options, data, coords, suppdata, store,
     elif method == "nlls":
         engine = NLLSInference(model, options, data, coords, suppdata,
                                voxel_data_getter=getter)
+        engine.progress_cb = progress_cb
+        log.log(f"NLLS::Engine route: {engine.route_description()}")
         if shard:
             from .parallel import shard_engine
             shard_engine(engine, log=log)

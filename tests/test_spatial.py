@@ -413,3 +413,43 @@ def test_coefficient_resels_diagnostic():
          "method": "spatialvb", "param-spatial-priors": "M+",
          "max-iterations": "4", "save-mean": True}, {"data": vol})
     assert "Coefficient resels per voxel for param 1" in run.log
+
+
+def test_mixed_spatial_nonspatial_priors_p4():
+    """BASELINE config 5 shape: 4-parameter linear model with combined
+    spatial (M) and non-spatial (N) priors — the bench's spatial-p4
+    config. The spatial parameters are smoothed toward their neighbours
+    while the N parameters keep per-voxel estimates; everything must
+    stay finite and recover the simulated coefficients."""
+    rng = np.random.default_rng(8)
+    nx, ny, nt = 8, 8, 40
+    nv = nx * ny
+    t = np.arange(nt, dtype=float)
+    design = np.stack([np.ones(nt), t / nt, np.sin(t / 3.0),
+                       np.cos(t / 3.0)], axis=1)
+    dfile = "/tmp/fabber_tpu_test_design_p4.txt"
+    np.savetxt(dfile, design)
+    coords = np.array([[x, y, 0] for y in range(ny) for x in range(nx)],
+                      float)
+    # spatial (M) parameters get smooth truth fields — the MRF shrinks
+    # toward neighbours, so a white random field would be biased by
+    # design; the non-spatial (N) parameters stay white
+    xs, ys = coords[:, 0] / nx, coords[:, 1] / ny
+    truth = np.stack([0.5 + 0.5 * np.sin(2 * np.pi * xs),
+                      0.5 * np.cos(2 * np.pi * ys),
+                      rng.uniform(-1, 1, nv),
+                      rng.uniform(-1, 1, nv)], axis=1)
+    data = truth @ design.T + rng.normal(0, 0.05, (nv, nt))
+    opts = RunOptions({"model": "linear", "basis": dfile,
+                       "noise": "white", "method": "spatialvb",
+                       "param-spatial-priors": "MMNN",
+                       "spatial-dims": "2", "max-iterations": "6"})
+    eng = SpatialVBInference(get_model_class("linear")(opts), opts, data,
+                             coords)
+    assert [p.prior_type for p in eng.params] == ["M", "M", "N", "N"]
+    res = eng.run()
+    assert not res.bad_voxels.any()
+    assert np.isfinite(res.means).all()
+    # both prior families recover the coefficients on clean-ish data
+    err = np.abs(res.means - truth).mean(axis=0)
+    assert np.all(err < 0.05), err

@@ -68,8 +68,15 @@ def build_engine(config, nv):
 
     f32 = jnp.float32
 
-    if config == "poly":
+    if config in ("poly", "poly-lm", "poly-p001"):
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
+        if config == "poly-lm":
+            # the LM robustness detector's first fast tier (in-kernel
+            # state machine + per-lane damped update on the
+            # whole-program kernel). Opt-in config (not in "all").
+            opts["convergence"] = "lm"
+        elif config == "poly-p001":
+            opts["convergence"] = "pointzeroone"
         t = jnp.arange(1, nt + 1, dtype=f32)[:, None]
 
         def slab_fn(k, m):
@@ -212,7 +219,9 @@ def build_engine(config, nv):
     return eng, iters
 
 
-NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
+NT_LABELS = {"poly": "T=106, P=3",
+             "poly-lm": "T=106, P=3, lm detector",
+             "poly-p001": "T=106, P=3, pointzeroone", "biexp": "T=100, P=4",
              "biexp-fdet": "T=100, P=4, pointzeroone",
              "biexp-generic": "T=100, P=4, evaluate-only plugin tier",
              "biexp-nllsinit": "T=100, P=4, NLLS init -> VB",
@@ -231,7 +240,7 @@ NT_LABELS = {"poly": "T=106, P=3", "biexp": "T=100, P=4",
 # The kernel-bound configs (biexp/ar1) run the plain budget. The
 # stderr line and the utilization fields state each config's actual
 # voxel count; docs quote these same numbers.
-CONFIG_SCALE = {"poly": 4.0, "biexp": 1.0, "biexp-fdet": 1.0,
+CONFIG_SCALE = {"poly": 4.0, "poly-lm": 1.0, "poly-p001": 1.0, "biexp": 1.0, "biexp-fdet": 1.0,
                 "ar1": 1.0, "spatial": 2.0, "linear": 2.0,
                 "nlls": 1.0, "nlls-lm": 1.0, "spatial-p4": 1.0,
                 # NLLS-init runs the generic-Jacobian optimizer to

@@ -21,6 +21,18 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# On TPU, JAX's DEFAULT matmul precision feeds f32 operands to the MXU
+# as single-pass bfloat16 — measured 2.5 posterior-sd drift (and ~4%
+# noise-precision error) in the sufficient-statistics matmuls vs the
+# same f32 program on CPU (round 4). This is a scientific-computing
+# package: every matmul/einsum must be true-f32 ("highest" = 3-pass
+# bf16 on the MXU). The MXU is never the bottleneck here (the routes
+# are HBM/VPU-bound), so the 3x pass cost is invisible end to end.
+# Override with FABBER_TPU_MATMUL_PRECISION if a study wants speed.
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("FABBER_TPU_MATMUL_PRECISION",
+                                   "highest"))
+
 # Some TPU plugins override the JAX_PLATFORMS env var during
 # registration; FABBER_TPU_PLATFORM pins the platform through the
 # config API, which always wins (e.g. =cpu for host-only tooling).

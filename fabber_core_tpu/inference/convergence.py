@@ -20,6 +20,13 @@ from ..exceptions import InvalidOptionValue
 from ..options import OptionSpec, OPT_INT, OPT_FLOAT
 
 
+def _bsel(cond, a, b):
+    """Boolean select as logical ops: Mosaic cannot lower vector
+    selects on i1 operands (arith.trunci i8->i1), and these state
+    machines also run INSIDE Pallas kernels (ops/fused_whole.py)."""
+    return (cond & a) | (~cond & b)
+
+
 class ConvState(NamedTuple):
     its: jnp.ndarray        # [V] int32
     prev_f: jnp.ndarray     # [V]
@@ -152,7 +159,7 @@ class FreduceDetector(FchangeDetector):
         return state._replace(
             its=its,
             prev_f=jnp.where(reduced, state.prev_f, f),
-            revert=jnp.where(reduced, True, state.revert),
+            revert=reduced | state.revert,
             done=done,
         )
 
@@ -213,7 +220,7 @@ class TrialModeDetector(FchangeDetector):
         # otherwise          -> stay in trial mode
         exhausted = ~improved & (t_trials >= self.max_trials)
         t_its = state.its
-        t_tm = jnp.where(improved & ~fsmall, False, True)
+        t_tm = ~(improved & ~fsmall)
         t_trials = jnp.where(improved & ~fsmall, 0, t_trials)
         t_save = improved & ~fsmall
         t_revert = exhausted
@@ -223,11 +230,11 @@ class TrialModeDetector(FchangeDetector):
         return state._replace(
             its=jnp.where(tm, t_its, n_its),
             prev_f=jnp.where(tm, t_prev, n_prev),
-            save=jnp.where(tm, t_save, n_save),
-            revert=jnp.where(tm, t_revert, n_revert),
-            done=jnp.where(tm, t_done, n_done),
+            save=_bsel(tm, t_save, n_save),
+            revert=_bsel(tm, t_revert, n_revert),
+            done=_bsel(tm, t_done, n_done),
             trials=jnp.where(tm, t_trials, n_trials),
-            trialmode=jnp.where(tm, t_tm, n_tm),
+            trialmode=_bsel(tm, t_tm, n_tm),
         )
 
 
@@ -282,17 +289,16 @@ class LMDetector(ConvergenceDetector):
         improved = diff > 0
         at_start = state.alpha == self.ALPHA_START
         l_alpha_imp = jnp.where(at_start, state.alpha, state.alpha / 10.0)
-        l_lm_imp = jnp.where(at_start, False, True)
+        l_lm_imp = ~at_start
         alpha_maxed = ~improved & (state.alpha >= self.ALPHA_MAX)
         its_maxed = ~improved & ~alpha_maxed & (state.its >= self.max_its)
         grow = ~improved & ~alpha_maxed & ~its_maxed
 
-        l_lm_on = jnp.where(improved, l_lm_imp, state.lm_on)
+        l_lm_on = _bsel(improved, l_lm_imp, state.lm_on)
         l_alpha = jnp.where(improved, l_alpha_imp,
                             jnp.where(grow, state.alpha * 10.0, state.alpha))
-        l_revert = jnp.where(improved, False,
-                             jnp.where(alpha_maxed, True,
-                                       jnp.where(its_maxed, False, True)))
+        l_revert = ~improved & _bsel(alpha_maxed, alpha_maxed,
+                                     ~its_maxed)
         l_prev = jnp.where(improved, f, state.prev_f)
         l_its = jnp.where(improved, state.its + 1, state.its)
         l_done = alpha_maxed | its_maxed
@@ -300,8 +306,8 @@ class LMDetector(ConvergenceDetector):
         return state._replace(
             its=jnp.where(lm, l_its, n_its),
             prev_f=jnp.where(lm, l_prev, n_prev),
-            revert=jnp.where(lm, l_revert, n_revert),
-            done=jnp.where(lm, l_done, n_done),
-            lm_on=jnp.where(lm, l_lm_on, n_lm_on),
+            revert=_bsel(lm, l_revert, n_revert),
+            done=_bsel(lm, l_done, n_done),
+            lm_on=_bsel(lm, l_lm_on, n_lm_on),
             alpha=jnp.where(lm, l_alpha, n_alpha),
         )

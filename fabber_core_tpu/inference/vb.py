@@ -205,11 +205,13 @@ class VBInference:
                        "the data plane fits on device) or off "
                        "(host-side dispatch per window)", default="auto"),
             OptionSpec("engine-kernel", OPT_STR,
-                       "Iteration backend: auto (spectral/fused Pallas "
-                       "on TPU when eligible), pallas (per-iteration "
-                       "time-signal kernel), pallas-loop (whole-loop "
-                       "stats kernel), spectral (eigenbasis scalar "
-                       "fixed point), or xla", default="auto"),
+                       "Iteration backend: auto (whole-program/fused "
+                       "Pallas on TPU when eligible), pallas "
+                       "(per-iteration time-signal kernel), pallas-loop "
+                       "(whole-loop stats kernel), pallas-whole "
+                       "(in-kernel stats + fixed point), spectral "
+                       "(eigenbasis scalar fixed point), or xla",
+                       default="auto"),
             OptionSpec("fixed-design-route", OPT_STR,
                        "Fixed-design update arithmetic: stats (sufficient "
                        "statistics; the iteration loop never touches "
@@ -402,14 +404,17 @@ class VBInference:
             and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
             and options.get_string("noise-initial-posterior",
                                    "modeldefault") == "modeldefault")
-        loop_eligible = (
+        # static-trip core gates shared by the whole-loop kernels
+        loop_core = (
             loop_gates_common
-            and loop_noise_ok
-            and kernel_mode in ("auto", "pallas-loop", "spectral")
             and type(self.detector).name == "maxits"
             # zero-trip kernel would emit an all-zero posterior instead
             # of the initial one; the XLA route handles maxits=0
             and int(self.detector.max_iterations) >= 1)
+        loop_eligible = (
+            loop_core
+            and loop_noise_ok
+            and kernel_mode in ("auto", "pallas-loop", "spectral"))
         if kernel_mode == "pallas-loop":
             self.use_loop_kernel = loop_eligible
             self.loop_interpret = jax.default_backend() != "tpu"
@@ -436,6 +441,53 @@ class VBInference:
                                  and kernel_mode == "auto"
                                  and jax.default_backend() == "tpu")
         if self.use_spectral:
+            self.use_loop_kernel = True  # shared run()/dispatch gates
+
+        # Whole-PROGRAM kernel (ops/fused_whole.py): sufficient
+        # statistics AND the whole fixed point in one Pallas kernel —
+        # one HBM read of the data per voxel (the XLA stats pass alone
+        # costs ~5 effective data reads; device-time probe, round 4).
+        # Any number of phi groups. Supersedes both the stats-input
+        # loop kernel and the spectral routes on TPU. Detector family:
+        # maxits runs the plain static fixed point; pointzeroone /
+        # trialmode / lm run their batched lane state machines
+        # IN-KERNEL with the engine's save/revert protocol on
+        # VMEM-resident best copies (lm gets the per-lane damped theta
+        # update — its first fast tier anywhere). freduce's revert
+        # target is the engine-side initial posterior, so it stays on
+        # the spectral-fdet / XLA routes.
+        det_name0 = type(self.detector).name
+        self.whole_fdet = det_name0 \
+            if det_name0 in ("pointzeroone", "trialmode", "lm") else None
+        whole_core = (
+            self.use_stats
+            and noise_name == "white"
+            and self.design is not None
+            and options.get_string("continue-from-mvn", "") == ""
+            and not self.save_fhist
+            and not self.prior_setup.has_ard
+            and not self.prior_setup.spatial_params
+            and not self.locked_linear
+            and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            and jnp.dtype(self.store_dtype) == jnp.dtype(jnp.float32)
+            and options.get_string("noise-initial-posterior",
+                                   "modeldefault") == "modeldefault"
+            and (det_name0 == "maxits" or self.whole_fdet is not None)
+            and int(self.detector.max_iterations) >= 1)
+        if whole_core:
+            from ..ops.fused_whole import pick_whole_block
+            from ..ops.fused_vb import pad_time as _pt
+            whole_core = pick_whole_block(
+                1024, self.nparams, self.noise.nphis, _pt(self.nt),
+                det=self.whole_fdet is not None) is not None
+        if kernel_mode == "pallas-whole":
+            self.use_whole_kernel = whole_core
+            self.whole_interpret = jax.default_backend() != "tpu"
+        else:
+            self.use_whole_kernel = (whole_core and kernel_mode == "auto"
+                                     and jax.default_backend() == "tpu")
+            self.whole_interpret = False
+        if self.use_whole_kernel:
             self.use_loop_kernel = True  # shared run()/dispatch gates
 
         # F-based detectors on the spectral route: pointzeroone /
@@ -483,17 +535,21 @@ class VBInference:
         nl_eligible = ((self._ts_eligible
                         or self._generic_eval_fn is not None)
                        and self.design is None)
-        # pointzeroone runs IN-KERNEL (ops/fused_loop_nl.py module
-        # docstring): the fchange lane state machine on VMEM-resident
-        # per-lane F, iteration counts matching the XLA route
-        self.nl_fdet = type(self.detector).name == "pointzeroone"
+        # pointzeroone and freduce run IN-KERNEL (ops/fused_loop_nl.py
+        # module docstring): the lane state machines on VMEM-resident
+        # per-lane F, iteration counts matching the XLA route; freduce
+        # reverts flagged lanes to the engine's initial posterior
+        det_name = type(self.detector).name
+        self.nl_fdet_kind = det_name \
+            if det_name in ("pointzeroone", "freduce") else None
+        self.nl_fdet = self.nl_fdet_kind is not None
         if nl_eligible:
             from ..ops.fused_loop_nl import pick_nl_block
             from ..ops.fused_vb import pad_time
             nl_eligible = (
                 kernel_mode in ("auto", "pallas-loop")
                 and options.get_string("continue-from-mvn", "") == ""
-                and type(self.detector).name in ("maxits", "pointzeroone")
+                and det_name in ("maxits", "pointzeroone", "freduce")
                 and not self.is_lm
                 and int(self.detector.max_iterations) >= 1
                 and not self.save_fhist
@@ -527,6 +583,12 @@ class VBInference:
         can see whether their configuration landed on a fast tier and,
         if not, which option gated it (docs/MIGRATION.md 'Plugin
         models and the fast tiers')."""
+        if getattr(self, "use_whole_kernel", False):
+            det = f", in-kernel {self.whole_fdet} detector" \
+                if getattr(self, "whole_fdet", None) else ""
+            return ("whole-program fixed-design Pallas kernel "
+                    f"(in-kernel sufficient statistics + fixed point"
+                    f"{det})")
         if getattr(self, "use_spectral_fdet", False):
             return ("spectral eigenbasis fixed point (pure XLA) "
                     "with in-loop F-based convergence detector")
@@ -537,7 +599,7 @@ class VBInference:
                    "derived from evaluate()"
                    if self._generic_eval_fn is not None
                    else "time_signal mode")
-            det = ", in-kernel pointzeroone detector" \
+            det = f", in-kernel {self.nl_fdet_kind} detector" \
                 if self.nl_fdet else ""
             return f"whole-loop nonlinear Pallas kernel ({how}{det})"
         if getattr(self, "use_loop_kernel", False):
@@ -994,7 +1056,7 @@ class VBInference:
             else getattr(self.model, "time_signal", None)
         nsupp = getattr(generic_fn, "nsupp", 0)
 
-        def run_local(centre0, pm, pp, fdata, consts, supp):
+        def run_local(centre0, pm, pp, pd0, fdata, consts, supp):
             """Kernel dispatch on one device's voxel planes (the whole
             array when unsharded; the local shard under shard_map)."""
             nv = centre0.shape[-1]
@@ -1019,14 +1081,15 @@ class VBInference:
                 detector=det, evaluate_fn=generic_fn, nsupp=nsupp)
             outs = fused(pad_v(centre0), pad_v(pm), pad_v(pp),
                          pad_v(fdata), consts,
-                         supp=pad_v(supp) if nsupp else None)
+                         supp=pad_v(supp) if nsupp else None,
+                         post_var0=pad_v(pd0))
             if pad:
                 outs = tuple(o[..., :nv] for o in outs)
             return outs
 
         dispatch = _shard_kernel(
             getattr(self, "mesh", None), run_local,
-            in_vox_dims=(2, 2, 2, 2, None, 2),
+            in_vox_dims=(2, 2, 2, 2, 2, None, 2),
             out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
 
         @jax.jit
@@ -1044,8 +1107,23 @@ class VBInference:
             # initial linearization centre = the (possibly model-
             # initialized) posterior means from initial_state
             means, prec, cov, nb, nc, fkqk, ftr = dispatch(
-                s.post.means, prior_means, prior_prec, bind.fused_data,
+                s.post.means, prior_means, prior_prec,
+                sm.diag_of(s.post.cov), bind.fused_data,
                 consts, bind.supp)
+
+            if self.nl_fdet_kind == "freduce":
+                # lanes the in-kernel detector reverted: restore the
+                # engine's INITIAL posterior (the reference's freduce
+                # never saves, so "best" is the pre-loop state;
+                # convergence.cc:117-131 + the engine's best-state
+                # init). The kernel already reported those lanes' F as
+                # the initial-state ELBO.
+                rev = fkqk[1] > 0.5
+                means = jnp.where(rev[None], s.post.means, means)
+                prec = jnp.where(rev[None, None], s.post.prec, prec)
+                cov = jnp.where(rev[None, None], s.post.cov, cov)
+                nb = jnp.where(rev[None], s.post.noise.b, nb)
+                nc = jnp.where(rev[None], s.post.noise.c, nc)
 
             noise_post = WhiteNoiseState(nb, nc)
             post = PosteriorState(means, prec, cov, prior_means,
@@ -1058,6 +1136,8 @@ class VBInference:
                 conv = s.conv._replace(
                     its=ftr[0].astype(jnp.int32), prev_f=f,
                     done=jnp.ones(nv, bool))
+                if self.nl_fdet_kind == "freduce":
+                    conv = conv._replace(revert=fkqk[1] > 0.5)
             else:
                 if self.need_f:
                     # fprior is zero for the (non-ARD, non-spatial)
@@ -1104,18 +1184,37 @@ class VBInference:
         nq = self.noise.nphis
         b0 = np.asarray(self.noise_prior.b, float).reshape(nq)
         c0 = np.asarray(self.noise_prior.c, float).reshape(nq)
-        lb_coeff, f_const = [], 0.5 * self.nparams \
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        c_init = float(post1.c[0, 0])
+        shared = 0.5 * self.nparams \
             - 0.5 * self.noise.n_unmasked * math.log(2 * math.pi)
+
+        def c_terms(q, c):
+            """Per-group constant ELBO block at noise shape c (the
+            generalization of the c=c_post collapse: the log b
+            coefficient n/2+c0 is c-independent, the constants are
+            lgamma(c) + c + (n/2 + c0 - c) digamma(c) - prior
+            normalizer)."""
+            n_q = float(self.noise.ntimes_per_group[q])
+            return (math.lgamma(c) + c
+                    + (n_q * 0.5 + c0[q] - c) * _dgamma(c)
+                    - math.lgamma(c0[q]) - c0[q] * math.log(b0[q]))
+
+        lb_coeff, f_const, f_const_init = [], shared, shared
         for q in range(nq):
             n_q = float(self.noise.ntimes_per_group[q])
             c_post = (n_q - 1.0) * 0.5 + c0[q]
             lb_coeff.append(n_q * 0.5 + c0[q])
-            f_const += (math.lgamma(c_post) + c_post
-                        + 0.5 * _dgamma(c_post)
-                        - math.lgamma(c0[q]) - c0[q] * math.log(b0[q]))
-        return {"tol": float(self.detector.min_fchange),
+            f_const += c_terms(q, c_post)
+            # the freduce revert value: ELBO of the INITIAL noise state
+            f_const_init += c_terms(q, c_init)
+        return {"tol": float(getattr(self.detector, "min_fchange",
+                                     getattr(self.detector,
+                                             "max_fchange", 0.01))),
                 "max_its": int(max_its),
-                "lb_coeff": lb_coeff, "f_const": f_const}
+                "kind": self.nl_fdet_kind or "pointzeroone",
+                "lb_coeff": lb_coeff, "f_const": f_const,
+                "f_const_init": f_const_init}
 
     def _compiled_loop_kernel_ar(self):
         """AR(1) whole-loop Pallas route (ops/fused_loop_ar.py):
@@ -1202,6 +1301,121 @@ class VBInference:
             conv = s.conv._replace(
                 its=jnp.full(nv, n_iters, jnp.int32),
                 done=jnp.ones(nv, bool))
+            out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
+    def _compiled_loop_whole(self):
+        """Whole-PROGRAM Pallas route (ops/fused_whole.py): the
+        sufficient statistics AND the whole fixed point run in one
+        kernel — per voxel tile the data is read from HBM once, OLS
+        stats and every iteration execute on VMEM-resident state, and
+        only the final posterior is written. Fixed-point arithmetic is
+        identical to ops/fused_loop.py; see the module docstring for
+        the statistics' tolerance-level differences."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.fused_whole import (make_fused_whole_loop,
+                                       pack_scalar_consts,
+                                       pack_time_consts,
+                                       pick_whole_block)
+        from ..ops.fused_vb import pad_time
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        n_iters = int(self.detector.max_iterations)
+        nq = self.noise.nphis
+        p = self.nparams
+        tp = pad_time(self.nt)
+        fdet = getattr(self, "whole_fdet", None)
+        det_consts = None
+        if fdet:
+            # static trip count = the engine's while-loop cap; lanes
+            # freeze in place once their state machine says done
+            n_iters = self.max_iter_cap
+            dc = self._nl_fdet_consts(n_iters)
+            conv1 = self.detector.init_state(1, self.dtype)
+            det_consts = {"lb_coeff": dc["lb_coeff"],
+                          "f_const": dc["f_const"],
+                          "init_save": bool(np.asarray(conv1.save)[0]),
+                          "sentinel": float(np.asarray(conv1.prev_f)[0])}
+        design_h = np.asarray(self.design, np.float64)
+        qm_h = np.asarray(self.noise.qmasks, np.float64)
+        tconsts = pack_time_consts(design_h, qm_h, self.nt, tp, self.dtype)
+        sconsts = pack_scalar_consts(
+            design_h, qm_h, self.nt, np.asarray(self.noise_prior.b),
+            np.asarray(self.noise_prior.c), self.noise.ntimes_per_group,
+            init_b, init_c, self.dtype)
+
+        def run_local(data, tcs, scs, prior_means, prior_prec):
+            """Kernel dispatch on one device's voxel planes."""
+            nv = data.shape[-1]
+            block, pad = pick_whole_block(nv, p, nq, tp,
+                                          det=fdet is not None)
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_whole_loop(
+                p, nq, n_iters, self.nt, nv + pad, self.dtype,
+                locked_noise_stdev=self.noise.locked_noise_stdev,
+                block=block, interpret=self.whole_interpret,
+                detector=self.detector if fdet else None,
+                det_consts=det_consts)
+            dataf = fused.fold_data(pad_v(data).astype(self.dtype))
+            outs = fused(dataf, tcs, scs, pad_v(prior_means),
+                         pad_v(prior_prec))
+            if pad:
+                outs = tuple(o[..., :nv] for o in outs)
+            return outs
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, None, None, 2, 2),
+            out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            means, prec, cov, nb, nc, fkqk, ftr = dispatch(
+                bind.data, tconsts, sconsts, prior_means, prior_prec)
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if fdet:
+                # fkqk/ftr carry the in-kernel per-lane F (post
+                # save/revert selection) and iteration counts
+                f = fkqk[0]
+                conv = s.conv._replace(
+                    its=ftr[0].astype(jnp.int32), prev_f=f,
+                    done=jnp.ones(nv, bool))
+            else:
+                if self.need_f:
+                    # fprior is zero for the (non-ARD, non-spatial)
+                    # priors this route admits; F from the in-kernel
+                    # quadratics
+                    f = self.noise.free_energy_from_parts(
+                        noise_post, self.noise_prior, means, prec, cov,
+                        prior_means, prior_prec,
+                        [fkqk[i] for i in range(nq)],
+                        [ftr[i] for i in range(nq)])
+                else:
+                    f = s.f
+                conv = s.conv._replace(
+                    its=jnp.full(nv, n_iters, jnp.int32),
+                    done=jnp.ones(nv, bool))
             out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
                              centre=means, f=f, conv=conv)
             return out, None
@@ -1354,6 +1568,8 @@ class VBInference:
 
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
+        if getattr(self, "use_whole_kernel", False):
+            return self._compiled_loop_whole()
         if getattr(self, "use_spectral_fdet", False):
             return self._compiled_loop_spectral_fdet()
         if getattr(self, "use_nl_loop", False):
@@ -1471,6 +1687,14 @@ class VBInference:
         # output-plane prototypes at window size (shape/dtype only)
         _, noise_proto = self.noise.initial_state(1, self.dtype)
 
+        # per-window progress (ProgressCheck parity): only traced in
+        # when a callback is registered, so the bench path pays nothing
+        report = getattr(self, "progress_cb", None)
+        nv_total = self.nvoxels
+
+        def report_window(lo):
+            report(min(int(lo) + chunk, nv_total), nv_total)
+
         @jax.jit
         def streamed(bind, starts):
             nv = bind.data.shape[1]
@@ -1516,6 +1740,8 @@ class VBInference:
                     fhist = upd(fhist, jnp.where(rows, fin.fhist,
                                                  last[None, :]))
                 itn = jnp.maximum(itn, fin.it)
+                if report is not None:
+                    jax.debug.callback(report_window, lo)
                 return (means, cov, noise, f, its, fhist, itn), None
 
             outs, _ = jax.lax.scan(body, outs0, starts)
@@ -1612,6 +1838,14 @@ class VBInference:
             return explicit
         item = jnp.dtype(self.dtype).itemsize
         p, t = self.nparams, self.nt
+        if getattr(self, "use_whole_kernel", False):
+            # in-kernel stats: the only [T,V]-scale allocations are the
+            # data plane and its padded/folded copy; everything else is
+            # tile-sized VMEM or the [P,P,V] outputs
+            per_vox = (2 * t + 3 * p * p + 6 * p + 16) * item
+            budget = budget_bytes if budget_bytes is not None else \
+                float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+            return max(16384, int(budget / per_vox))
         if getattr(self, "use_spectral", False) \
                 or getattr(self, "use_spectral_fdet", False):
             # eigenbasis fixed point: loop state is a few scalar lanes

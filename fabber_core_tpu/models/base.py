@@ -148,11 +148,14 @@ _KERNEL_SAFE_PRIMITIVES = frozenset({
     "stop_gradient", "copy",
 })
 
-# call-like primitives whose sub-jaxprs are inlined: recurse into them
+# call-like primitives whose sub-jaxprs are inlined: recurse into them.
+# custom_jvp/custom_vjp are deliberately NOT here: inlining their primal
+# call_jaxpr would discard the model's custom derivative rule before the
+# kernel's jax.linearize (possibly NaN at removable singularities),
+# silently diverging from the XLA route which honors it — such models
+# are rejected to the XLA route instead (ADVICE r3).
 _CALL_PRIMITIVES = frozenset({
-    "pjit", "closed_call", "core_call", "custom_jvp_call",
-    "custom_vjp_call", "custom_vjp_call_jaxpr", "remat", "remat2",
-    "checkpoint", "custom_jvp_call_jaxpr",
+    "pjit", "closed_call", "core_call", "remat", "remat2", "checkpoint",
 })
 
 
@@ -171,6 +174,14 @@ def _jaxpr_kernel_safe(jaxpr):
     return True
 
 
+def _sub_jaxpr(p):
+    """A param's inner Jaxpr: ClosedJaxpr (.jaxpr) or a raw Jaxpr
+    (remat2/checkpoint carry the latter; ADVICE r3)."""
+    if hasattr(p, "eqns"):
+        return p
+    return getattr(p, "jaxpr", None)
+
+
 def _count_time_planes(jaxpr, nt):
     """Number of jaxpr intermediates carrying the time axis — the
     VMEM-cost driver of in-kernel full-time evaluation (each becomes a
@@ -178,9 +189,10 @@ def _count_time_planes(jaxpr, nt):
     residuals plus per-basis tangent replays of every one live)."""
     n = 0
     for eqn in jaxpr.eqns:
-        sub = next((getattr(p, "jaxpr", None) for p in eqn.params.values()
-                    if hasattr(p, "jaxpr") or hasattr(p, "eqns")), None)
-        if hasattr(sub, "eqns"):
+        sub = next((s for s in (_sub_jaxpr(p)
+                                for p in eqn.params.values())
+                    if hasattr(s, "eqns")), None)
+        if sub is not None:
             n += _count_time_planes(sub, nt)
             continue
         for v in eqn.outvars:
@@ -212,8 +224,17 @@ def _eval_kernel_safe(closed_jaxpr, *args):
     for eqn in jaxpr.eqns:
         invals = [read(v) for v in eqn.invars]
         prim = eqn.primitive
-        sub = next((p for p in eqn.params.values()
-                    if isinstance(p, jcore.ClosedJaxpr)), None)
+        sub = None
+        for pval in eqn.params.values():
+            if isinstance(pval, jcore.ClosedJaxpr):
+                sub = pval
+                break
+            if isinstance(pval, jcore.Jaxpr):
+                # remat2/checkpoint carry a raw Jaxpr whose consts ride
+                # as invars (ADVICE r3): wrap so the recursion (and its
+                # float-iota rewrite) sees it too
+                sub = jcore.ClosedJaxpr(pval, ())
+                break
         if prim.name in _CALL_PRIMITIVES and sub is not None:
             outs = _eval_kernel_safe(sub, *invals)
         elif prim.name == "iota" and jnp.issubdtype(
@@ -228,6 +249,36 @@ def _eval_kernel_safe(closed_jaxpr, *args):
         for v, o in zip(eqn.outvars, outs):
             env[v] = o
     return [read(v) for v in jaxpr.outvars]
+
+
+class _ProbeForbidden:
+    """Probe stand-in for ctx.data/coords in derive_time_local_eval:
+    EVERY use raises. A plain None would let a model that
+    presence-checks (``if ctx.data is None: ...``) trace successfully
+    while computing a DIFFERENT signal than the XLA route (where data
+    is bound) — auto-engagement must reject such models instead
+    (ADVICE r3)."""
+
+    def __init__(self, name):
+        object.__setattr__(self, "_pf_name", name)
+
+    def _pf_boom(self, *a, **k):
+        raise TypeError(
+            f"ctx.{object.__getattribute__(self, '_pf_name')} is not "
+            "available to the data-free kernel tier")
+
+    def __getattr__(self, name):
+        self._pf_boom()
+
+
+for _dunder in ("__getitem__", "__iter__", "__len__", "__array__",
+                "__bool__", "__float__", "__int__", "__index__",
+                "__add__", "__radd__", "__sub__", "__rsub__", "__mul__",
+                "__rmul__", "__truediv__", "__rtruediv__", "__pow__",
+                "__rpow__", "__neg__", "__abs__", "__matmul__",
+                "__rmatmul__", "__lt__", "__le__", "__gt__", "__ge__",
+                "__mod__", "__rmod__", "__call__", "__jax_array__"):
+    setattr(_ProbeForbidden, _dunder, _ProbeForbidden._pf_boom)
 
 
 def derive_time_local_eval(model, nt, nparams, dtype, nsupp=0):
@@ -245,25 +296,32 @@ def derive_time_local_eval(model, nt, nparams, dtype, nsupp=0):
     returned fn over voxel lanes *inside* the kernel (suppdata rides in
     as an extra [S,V] kernel input).
 
-    The probe traces evaluate abstractly with data/coords (and, when
-    nsupp==0, suppdata) set to None — any model that touches them fails
-    the trace and is (correctly) rejected — then walks the jaxpr
-    against a Mosaic-safe primitive allowlist so auto-engagement cannot
-    turn a previously working XLA-route model into a TPU kernel-compile
-    failure.
+    The probe traces evaluate abstractly with data/coords replaced by
+    raising sentinels (_ProbeForbidden) — any use, INCLUDING a
+    presence check like ``ctx.data is None`` taking the data-using
+    branch, fails the trace and the model is (correctly) rejected —
+    then walks the jaxpr against a Mosaic-safe primitive allowlist so
+    auto-engagement cannot turn a previously working XLA-route model
+    into a TPU kernel-compile failure.
     """
     import jax
 
+    fdata = _ProbeForbidden("data")
+    fcoords = _ProbeForbidden("coords")
     if nsupp:
         def fn(pvec, svec):
-            ctx = EvalContext(data=None, coords=None, suppdata=svec,
+            ctx = EvalContext(data=fdata, coords=fcoords, suppdata=svec,
                               nt=nt)
             return model.evaluate(pvec, ctx)
 
         avals = (jax.ShapeDtypeStruct((nparams,), dtype),
                  jax.ShapeDtypeStruct((nsupp,), dtype))
     else:
-        ctx0 = EvalContext(data=None, coords=None, suppdata=None, nt=nt)
+        # suppdata stays None when the run has none: the XLA route
+        # binds None too, so a model's `suppdata is None` fallback
+        # branch is the branch that actually runs on both routes
+        ctx0 = EvalContext(data=fdata, coords=fcoords, suppdata=None,
+                           nt=nt)
 
         def fn(pvec):
             return model.evaluate(pvec, ctx0)

@@ -67,6 +67,21 @@ the first update on). Lanes freeze by arithmetic masking: frozen
 lanes keep recomputing but never commit. The final iteration's test
 runs after the loop on the (already present) F pass at the final
 means. Trip count stays static at max-iterations.
+
+freduce IN-KERNEL (detector kind="freduce"): additionally stop — and
+REVERT — any lane whose F decreased (convergence.cc:117-131,
+FreduceDetector). The reference's freduce never sets its save flag,
+so the reverted-to state is the engine's INITIAL posterior
+(inference/vb.py best-state init); the kernel therefore only flags
+the lane (rev output row) and the engine restores the initial planes
+outside. The reported F for a reverted lane is the ELBO of the
+initial posterior, captured from iteration 0's model pass (which
+evaluates at exactly the initial means) with the Gamma terms of the
+INITIAL noise shape c_init folded into a second host constant — the
+XLA route's value for such lanes instead reflects its best-state
+placeholder prior planes, so F agreement on reverted lanes is not
+meaningful on any route pair (see inference/vb.py's spectral-fdet
+note); means/cov/noise agree everywhere.
 """
 
 import jax
@@ -90,7 +105,8 @@ def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
     the [TB,B] partial-sum planes (J'QJ tri + J'Qr + r'Qr per group)
     carried across the time loop. No J/r scratch: the phi update's
     k'Qk expands into these quadratics. fdet adds the detector lanes
-    (f, prev_f, done, its, logdet) plus the F-assembly temporaries.
+    (f, prev_f, done, its, logdet, rev, rev_f — the last two for the
+    freduce kind) plus the F-assembly temporaries and the pd0 input.
 
     full_eval (generic-model mode): every time-shaped intermediate of
     the model trace is a live [tp,B] plane, and Mosaic keeps the
@@ -112,7 +128,8 @@ def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
         eval_live = 3 * TB * (p + 1)            # sig/jac rows + temps
         time_partials = TB * nq * (ntri + p + 1)
     return (data_in + small_io + carry + eval_live + time_partials
-            + (10 if fdet else 0))
+            + 2 * p  # pd0 input (double-buffered)
+            + (14 if fdet else 0))
 
 
 def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
@@ -252,14 +269,16 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 cv[(j, i)] = s
         return cv
 
+    kind = (detector or {}).get("kind", "pointzeroone")
+
     def kernel(*refs):
         if with_supp:
-            (centre0_ref, pm_ref, pp_ref, data_ref, supp_ref, qm_ref,
-             consts_ref, means_out, prec_out, cov_out, b_out, c_out,
-             fkqk_out, ftr_out) = refs
+            (centre0_ref, pm_ref, pp_ref, pd0_ref, data_ref, supp_ref,
+             qm_ref, consts_ref, means_out, prec_out, cov_out, b_out,
+             c_out, fkqk_out, ftr_out) = refs
         else:
-            (centre0_ref, pm_ref, pp_ref, data_ref, qm_ref, consts_ref,
-             means_out, prec_out, cov_out, b_out, c_out,
+            (centre0_ref, pm_ref, pp_ref, pd0_ref, data_ref, qm_ref,
+             consts_ref, means_out, prec_out, cov_out, b_out, c_out,
              fkqk_out, ftr_out) = refs
         b = centre0_ref.shape[-1]
 
@@ -313,12 +332,19 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             part3vox = dtype(detector["f_const"]) * ones
             for i in range(p):
                 part3vox = part3vox + 0.5 * jnp.log(pp[i])
+            if kind == "freduce":
+                # same constant block at the INITIAL noise shape c_init
+                # (log b coefficient is c-independent, so lbc is shared)
+                part3init = dtype(detector["f_const_init"]) * ones
+                for i in range(p):
+                    part3init = part3init + 0.5 * jnp.log(pp[i])
 
-            def assemble_f(cen, bqv, cqv, covdiag, logdet, kqk, trace):
-                """free_energy_from_parts with c = c_post constant
-                (noisemodel_white.cc:365-454); Gamma-function terms
-                live in part3vox/lbc host-side constants."""
-                v = part3vox - 0.5 * logdet
+            def assemble_f(cen, bqv, cqv, covdiag, logdet, kqk, trace,
+                           base=None):
+                """free_energy_from_parts with the noise shape c
+                constant (noisemodel_white.cc:365-454); Gamma-function
+                terms live in the base/lbc host-side constants."""
+                v = (part3vox if base is None else base) - 0.5 * logdet
                 for q in range(nq):
                     phi_q = bqv[q] * cqv[q]
                     v = (v + lbc[q] * jnp.log(bqv[q])
@@ -332,7 +358,7 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         def iteration(it_k, carry):
             if detector is not None:
                 (centre, bq, cq, prev_prec, prev_cov,
-                 f_st, pf, dn, its, logdet) = carry
+                 f_st, pf, dn, its, logdet, rev, rev_f) = carry
             else:
                 centre, bq, cq, _prec, _cov = carry
             phi = [bq[q] * cq[q] for q in range(nq)]
@@ -397,18 +423,49 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 f_here = assemble_f(centre, bq, cq,
                                     [cov_p[(i, i)] for i in range(p)],
                                     logdet, rqrq, trace_p)
+                if kind == "freduce":
+                    # iteration 0's pass evaluates at the INITIAL
+                    # means: capture the initial-state ELBO as each
+                    # lane's revert value (diagonal initial cov)
+                    pd0 = [pd0_ref[i:i + 1] for i in range(p)]
+                    tr0 = [sum(pd0[i] * at_q(qi, i, i) for i in range(p))
+                           for qi in range(nq)]
+                    ld0 = 0.0
+                    for i in range(p):
+                        ld0 = ld0 - jnp.log(pd0[i])
+                    f0 = assemble_f(centre, bq, cq, pd0, ld0, rqrq, tr0,
+                                    base=part3init)
+                    first = jnp.where(it_k == jnp.int32(0), dtype(1.0),
+                                      dtype(0.0))
+                    rev_f = (1.0 - first) * rev_f + first * f0
                 gate = jnp.where(it_k >= jnp.int32(1), dtype(1.0),
                                  dtype(0.0))
                 run = gate * (1.0 - dn)
                 fsmall = jnp.where(jnp.abs(f_here - pf) < d_tol,
                                    dtype(1.0), dtype(0.0))
+                if kind == "freduce":
+                    # FreduceDetector.test: F decrease stops the lane
+                    # (no its increment, prev_f kept) and reverts it
+                    reduced = jnp.where(f_here - pf < 0, dtype(1.0),
+                                        dtype(0.0))
+                else:
+                    reduced = dtype(0.0) * ones
+                keep = (1.0 - fsmall) * (1.0 - reduced)
                 # FchangeDetector.test: its not incremented on the
                 # converging test; done on fsmall or max-iterations
-                its = its + run * (1.0 - fsmall)
+                its = its + run * keep
                 over = jnp.where(its >= d_max, dtype(1.0), dtype(0.0))
-                dn = jnp.maximum(dn, run * jnp.maximum(fsmall, over))
-                f_st = f_st + run * (f_here - f_st)
-                pf = pf + run * (f_here - pf)
+                dn = jnp.maximum(dn, run * jnp.maximum(
+                    jnp.maximum(fsmall, over), reduced))
+                rev = jnp.maximum(rev, run * reduced)
+                # convex-select commits: the incremental form
+                # x + c*(y - x) catastrophically cancels against the
+                # -3.4e38 prev_f sentinel (y - x rounds to -sentinel,
+                # so x + c*(y-x) lands on exactly 0.0)
+                committed = (1.0 - reduced) * f_here + reduced * rev_f
+                f_st = (1.0 - run) * f_st + run * committed
+                cpf = run * (1.0 - reduced)
+                pf = (1.0 - cpf) * pf + cpf * f_here
                 act = 1.0 - dn  # newly frozen lanes skip this update
 
             # ---- solve (update_theta arithmetic, Eq 19/20) ------------
@@ -483,7 +540,8 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                           for k2 in range(ntri)),
                     tuple(bl(cov[ij], prev_cov[k2])
                           for k2, ij in enumerate(tri)),
-                    f_st, pf, dn, its, bl(logdet_new, logdet))
+                    f_st, pf, dn, its, bl(logdet_new, logdet),
+                    rev, rev_f)
 
         init = (tuple(centre0_ref[i:i + 1] for i in range(p)),
                 tuple(b_init[q] * ones for q in range(nq)),
@@ -495,9 +553,9 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             # init_state: finfo.min clamp of the reference's -99e99)
             sent = float(jnp.finfo(jnp.float32).min)
             init = init + (zero_1b, jnp.full((1, b), sent, dtype),
-                           zero_1b, zero_1b, zero_1b)
+                           zero_1b, zero_1b, zero_1b, zero_1b, zero_1b)
             (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
-             logdet) = jax.lax.fori_loop(
+             logdet, rev, rev_f) = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n_iters), iteration, init)
         else:
             means, bq, cq, prec, cov_t = jax.lax.fori_loop(
@@ -562,10 +620,24 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 run = 1.0 - dn
                 fsmall = jnp.where(jnp.abs(f_last - pf) < d_tol,
                                    dtype(1.0), dtype(0.0))
-                its = its + run * (1.0 - fsmall)
-                f_st = f_st + run * (f_last - f_st)
-                fkqk_out[:] = f_st
-                ftr_out[:] = its
+                if kind == "freduce":
+                    reduced = jnp.where(f_last - pf < 0, dtype(1.0),
+                                        dtype(0.0))
+                    rev = jnp.maximum(rev, run * reduced)
+                    its = its + run * (1.0 - fsmall) * (1.0 - reduced)
+                    committed = ((1.0 - reduced) * f_last
+                                 + reduced * rev_f)
+                    f_st = (1.0 - run) * f_st + run * committed
+                    fkqk_out[0:1] = f_st
+                    fkqk_out[1:2] = rev
+                    ftr_out[0:1] = its
+                    ftr_out[1:2] = jnp.zeros((1, b_cols), dtype)
+
+                else:
+                    its = its + run * (1.0 - fsmall)
+                    f_st = (1.0 - run) * f_st + run * f_last
+                    fkqk_out[:] = f_st
+                    ftr_out[:] = its
             else:
                 for qi in range(nq):
                     fkqk_out[qi:qi + 1] = kqk2[qi]
@@ -587,10 +659,14 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                             lambda i: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
-    # detector mode: the last two outputs are f/its lanes, not [Q,V]
-    # free-energy quadratics
-    fq = 1 if detector is not None else nq
-    in_specs = [vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(tp)]
+    # detector mode: the last two outputs are f/its lanes (plus the
+    # revert flag row under freduce), not [Q,V] free-energy quadratics
+    if detector is not None:
+        fq = 2 if kind == "freduce" else 1
+    else:
+        fq = nq
+    in_specs = [vox_spec(p), vox_spec(p), vox_spec(p), vox_spec(p),
+                vox_spec(tp)]
     if with_supp:
         in_specs.append(vox_spec(nsupp))
     in_specs += [fixed_spec(tp, nq), fixed_spec(4 * nq, 1)]
@@ -613,9 +689,12 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
     )
 
     def run(centre0, prior_means, prior_prec, data_padded, consts,
-            supp=None):
+            supp=None, post_var0=None):
         qm = jnp.asarray(qm_host, dtype)
-        args = [centre0, prior_means, prior_prec, data_padded]
+        if post_var0 is None:
+            # only read by the freduce detector's initial-F capture
+            post_var0 = jnp.ones_like(prior_prec)
+        args = [centre0, prior_means, prior_prec, post_var0, data_padded]
         if with_supp:
             args.append(supp.astype(dtype))
         args += [qm, consts]

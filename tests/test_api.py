@@ -178,3 +178,12 @@ class TestGoldenOutputOnly:
                 f"{REF}/outdata_linear_vb/zstat_Parameter_{i}.nii.gz").data
             np.testing.assert_allclose(run.data[f"zstat_Parameter_{i}"][m],
                                        gold_z[m], rtol=1e-4, atol=1e-3)
+
+
+def test_true_f32_matmul_precision_pinned():
+    """On TPU the default matmul precision silently feeds f32 operands
+    to the MXU as single-pass bfloat16 — measured 2.5 posterior-sd
+    drift in the sufficient-statistics matmuls (round 4). The package
+    must pin "highest" at import."""
+    import jax
+    assert str(jax.config.jax_default_matmul_precision) == "highest"

@@ -31,12 +31,16 @@ one for application (the remote-TPU tunnel charges ~26ms per
 dispatch+sync, so per-timepoint dispatches would dominate); only the
 [T,3] translation diagnostics are fetched to host.
 
-Limitations (documented, not hidden): single-resolution Gauss-Newton
-on a demeaned-SSD cost, so the capture range is roughly +-2 voxels of
-translation / a few degrees of rotation — adequate for the
-between-iteration correction loop this implements (motion shrinks as
-the fit improves), not a general-purpose replacement for a
-multi-resolution registration tool.
+Capture range: the Gauss-Newton cost is only locally convex, so a
+single-resolution registration captures roughly +-2 voxels of
+translation. A MULTI-RESOLUTION pyramid (mcflirt's own strategy)
+extends this: coarse levels average-pool both volumes by a factor f
+and register over the dense coarse grid (+-2 COARSE voxels = +-2f fine
+voxels of capture), and each level's estimate — translations rescaled
+— seeds the next finer level, down to the original masked-voxel cost.
+Default levels (4, 1): ~+-8 voxels of capture. Estimates near the top
+level's range still trigger the caller's saturation warning
+(reg.capture_range).
 """
 
 import functools
@@ -98,7 +102,8 @@ def params_to_affine(params, centre, dof):
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_fns(shape, dof, n_iters, damping, dtype_name):
+def _compiled_fns(shape, dof, n_iters, damping, dtype_name,
+                  levels=(4, 1)):
     """Jitted registration callables for one static configuration.
 
     The volume-sized bindings — coords [3,V], scatter index tuple
@@ -107,9 +112,21 @@ def _compiled_fns(shape, dof, n_iters, damping, dtype_name):
     instead of being baked into the HLO as constants (the remote-TPU
     413-compile-failure trap), and the compiled executables are reused
     across MC steps and run() calls (jit caches on shapes).
+
+    levels: descending pool factors of the registration pyramid; the
+    final entry must be 1 (full-resolution masked-voxel cost). Coarse
+    levels too large for the volume are skipped statically.
     """
     dtype = jnp.dtype(dtype_name)
     eye = jnp.eye(dof, dtype=dtype)
+    # statically drop pyramid levels the volume can't support (a
+    # pooled axis below ~4 cells makes the demeaned cost degenerate
+    # and the coarse estimate can seed the fine level OUTSIDE its
+    # capture range — worse than no pyramid)
+    levels = tuple(f for f in levels
+                   if f == 1 or min(shape) // f >= 4)
+    if levels[-1] != 1:
+        raise ValueError("pyramid levels must end at full resolution")
 
     def to_grid(vals, idx):
         return jnp.zeros(shape, dtype).at[idx].set(vals)
@@ -119,28 +136,73 @@ def _compiled_fns(shape, dof, n_iters, damping, dtype_name):
         return map_coordinates(grid, [pts[0], pts[1], pts[2]], order=1,
                                mode="nearest")
 
-    def estimate(data_t, pred_t, coords, idx, centre):
-        grid = to_grid(data_t.astype(dtype), idx)
-        # offset-invariant cost (mcflirt's normalized-correlation
-        # family): both volumes are demeaned over the mask, so a global
-        # intensity mismatch (e.g. a temporal trend the model carries)
-        # cannot leak into spurious translation along the image gradient
-        pred_c = pred_t.astype(dtype)
-        pred_c = pred_c - jnp.mean(pred_c)
+    def pool_grid(grid, f):
+        """Average-pool a [nx,ny,nz] grid by factor f (zero-padded to
+        a multiple; the padding dilutes only boundary cells)."""
+        ns = [(s + (-s) % f) // f for s in shape]
+        g = jnp.pad(grid, [(0, (-s) % f) for s in shape])
+        return g.reshape(ns[0], f, ns[1], f, ns[2], f).mean(axis=(1, 3, 5))
 
-        def sample_c(params):
-            s = sample(grid, params, coords, centre)
-            return s - jnp.mean(s)
+    def coarse_coords(f):
+        """Dense sample coordinates of the level-f grid (static)."""
+        ns = [(s + (-s) % f) // f for s in shape]
+        gx, gy, gz = np.meshgrid(*[np.arange(n) for n in ns],
+                                 indexing="ij")
+        return jnp.asarray(np.stack([gx.ravel(), gy.ravel(),
+                                     gz.ravel()]), dtype)
 
+    def gn_loop(params0, sample_c, target_c):
         def gn_step(_, params):
-            resid = sample_c(params) - pred_c              # [V]
+            resid = sample_c(params) - target_c            # [V]
             jac = jax.jacfwd(sample_c)(params)             # [V,dof]
             g = jac.T @ resid
             h = jac.T @ jac + damping * eye
             return params - jnp.linalg.solve(h, g)
 
-        return jax.lax.fori_loop(0, n_iters, gn_step,
-                                 jnp.zeros((dof,), dtype))
+        return jax.lax.fori_loop(0, n_iters, gn_step, params0)
+
+    def _rescale(params, ratio):
+        """Level transition: translations are in current-level voxel
+        units; the linear part (angles / A-I entries) is scale-free."""
+        return params.at[:3].multiply(dtype.type(ratio))
+
+    def estimate(data_t, pred_t, coords, idx, centre):
+        grid = to_grid(data_t.astype(dtype), idx)
+        # offset-invariant cost (mcflirt's normalized-correlation
+        # family): both volumes are demeaned, so a global intensity
+        # mismatch (e.g. a temporal trend the model carries) cannot
+        # leak into spurious translation along the image gradient
+        pred_c = pred_t.astype(dtype)
+        pred_c = pred_c - jnp.mean(pred_c)
+        pred_grid = None
+
+        params = jnp.zeros((dof,), dtype)
+        prev_f = levels[0]
+        for f in levels:
+            params = _rescale(params, prev_f / f)
+            prev_f = f
+            if f == 1:
+                def sample_fine(p):
+                    s = sample(grid, p, coords, centre)
+                    return s - jnp.mean(s)
+
+                params = gn_loop(params, sample_fine, pred_c)
+                continue
+            # coarse level: dense registration of the pooled volumes
+            if pred_grid is None:
+                pred_grid = to_grid(pred_c, idx)
+            gd = pool_grid(grid, f)
+            gp = pool_grid(pred_grid, f)
+            target = (gp - jnp.mean(gp)).ravel()
+            ccoords = coarse_coords(f)
+            ccentre = centre / dtype.type(f)
+
+            def sample_coarse(p, gd=gd, cc=ccoords, cn=ccentre):
+                s = sample(gd, p, cc, cn)
+                return s - jnp.mean(s)
+
+            params = gn_loop(params, sample_coarse, target)
+        return params
 
     def apply_affine(data_t, a, b, coords, idx):
         grid = to_grid(data_t.astype(dtype), idx)
@@ -166,7 +228,8 @@ class _Registerer:
     """Bound registerer: static config compiled once (shared via
     _compiled_fns), voxel-sized bindings held as device arrays."""
 
-    def __init__(self, coords, shape, dof, n_iters, damping, dtype):
+    def __init__(self, coords, shape, dof, n_iters, damping, dtype,
+                 levels=(4, 1)):
         dtype = jnp.dtype(dtype)
         coords = jnp.asarray(coords, dtype)
         if coords.shape[0] != 3:
@@ -177,9 +240,15 @@ class _Registerer:
         self.centre = jnp.asarray(
             (np.asarray(shape, np.float64) - 1) / 2.0, dtype)
         self.dof = dof
+        # pyramid levels actually usable at this volume size; the top
+        # level sets the capture range (+-2 of its voxels)
+        used = tuple(f for f in levels
+                     if f == 1 or min(int(s) for s in shape) // f >= 4)
+        self.levels = used
+        self.capture_range = 2.0 * used[0]
         self._one, self._est_all, self._apply_all = _compiled_fns(
             tuple(int(s) for s in shape), int(dof), int(n_iters),
-            float(damping), dtype.name)
+            float(damping), dtype.name, levels=tuple(levels))
 
     def __call__(self, data_t, pred_t):
         return self._one(data_t, pred_t, self.coords, self.idx,
@@ -213,9 +282,10 @@ def make_registerer(coords, shape, dof=6, n_iters=10, damping=1e-4,
 # and centre displacement, voxels) pass through unresampled
 IDENTITY_TOL = 1e-2
 
-# capture range of the single-resolution Gauss-Newton registration
-# (see module docstring); estimates approaching it mean real motion may
-# exceed it and be silently under-corrected — callers warn at 75%
+# capture range of a SINGLE level of the Gauss-Newton registration, in
+# that level's voxels; the pyramid's top pool factor multiplies it
+# (reg.capture_range). Estimates approaching the top range mean real
+# motion may exceed it and be under-corrected — callers warn at 75%
 CAPTURE_RANGE_VOXELS = 2.0
 
 

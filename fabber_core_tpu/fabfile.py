@@ -1,68 +1,142 @@
 """`.fab` option-file round trip.
 
-Capability parity with the reference binding's FabberRunData class
-(py/fabber.py:314-460): a dict-like view of a `key=value` option file
-that preserves comments and line order on save, so hand-maintained run
-files survive programmatic edits.
+Capability parity with the reference binding's run-file handling
+(py/fabber.py): a dict-like view of a `key=value` option file that
+preserves comments, blank lines and line order on save, so
+hand-maintained run files survive programmatic edits.
+
+Design: ONE ordered list of typed entries is the whole document model.
+Every line of the file — comment, blank, or option — is an `_Entry`
+row in order; the mapping protocol is a view over the option rows
+(there is no separate key->value store to keep in sync). Appends go to
+the end, deletes drop the row, and `dump` is a single pass over the
+list.
 """
 
 import os
 
-from collections.abc import MutableMapping
+
+_COMMENT, _BLANK, _OPTION = "comment", "blank", "option"
 
 
-class FabRunFile(MutableMapping):
-    """Options for a run, loadable from / savable to a .fab file."""
+class _Entry:
+    __slots__ = ("kind", "key", "value")
+
+    def __init__(self, kind, key=None, value=""):
+        self.kind = kind
+        self.key = key
+        self.value = value
+
+    def render(self, mask=None):
+        if self.kind == _BLANK:
+            return ""
+        if self.kind == _COMMENT:
+            return self.value
+        if self.key == "mask" and mask is not None:
+            return f"mask={mask}"
+        if self.value == "":
+            return self.key  # boolean flag: bare key
+        return f"{self.key}={self.value}"
+
+
+class FabRunFile:
+    """Options for a run, loadable from / savable to a .fab file.
+
+    Mapping-style access reads and writes option entries in place;
+    iteration yields option keys in file order.
+    """
 
     def __init__(self, filename=None):
-        self.options = {}
-        # ordered lines: option keys or comment/blank strings
-        self.filelines = []
+        self._entries = []
         self.filepath = None
         if filename:
             self.load(filename)
 
-    # -- mapping protocol ---------------------------------------------------
+    def _find(self, key):
+        for e in self._entries:
+            if e.kind == _OPTION and e.key == key:
+                return e
+        return None
+
+    # -- mapping protocol ------------------------------------------------
     def __getitem__(self, key):
-        return self.options[key.strip()]
+        e = self._find(key.strip())
+        if e is None:
+            raise KeyError(key)
+        return e.value
 
     def __setitem__(self, key, value):
         key = key.strip()
         if not key:
             return
-        if key not in self.options:
-            self.filelines.append(key)
-        self.options[key] = str(value).strip()
+        e = self._find(key)
+        if e is None:
+            self._entries.append(_Entry(_OPTION, key, str(value).strip()))
+        else:
+            e.value = str(value).strip()
 
     def __delitem__(self, key):
         key = key.strip()
-        if key in self.options:
-            del self.options[key]
-            self.filelines.remove(key)
+        e = self._find(key)
+        if e is not None:
+            self._entries.remove(e)
+
+    def __contains__(self, key):
+        return self._find(key.strip()) is not None
 
     def __iter__(self):
-        return iter(self.options)
+        return (e.key for e in self._entries if e.kind == _OPTION)
 
     def __len__(self):
-        return len(self.options)
+        return sum(1 for e in self._entries if e.kind == _OPTION)
 
-    # -- comments -----------------------------------------------------------
+    def keys(self):
+        return list(self)
+
+    def items(self):
+        return [(e.key, e.value) for e in self._entries
+                if e.kind == _OPTION]
+
+    def get(self, key, default=None):
+        e = self._find(key.strip())
+        return default if e is None else e.value
+
+    def update(self, other):
+        for k, v in (other.items() if hasattr(other, "items") else other):
+            self[k] = v
+
+    def __eq__(self, other):
+        if hasattr(other, "items"):
+            return dict(self.items()) == dict(other.items())
+        return NotImplemented
+
+    # -- comments --------------------------------------------------------
     def add_comment(self, comment, option=None):
-        idx = 0 if option is None else self.filelines.index(option)
-        self.filelines.insert(idx, f"# {comment}")
+        """Insert a comment line, before `option`'s line when given
+        (at the top otherwise)."""
+        entry = _Entry(_COMMENT, value=f"# {comment}")
+        if option is None:
+            self._entries.insert(0, entry)
+            return
+        e = self._find(option.strip())
+        if e is None:
+            raise ValueError(f"No such option: {option}")
+        self._entries.insert(self._entries.index(e), entry)
 
-    # -- file I/O -------------------------------------------------------------
+    # -- file I/O --------------------------------------------------------
     def load(self, filename):
         self.filepath = os.path.abspath(filename)
         with open(filename) as f:
-            for line in f:
-                line = line.strip()
-                if not line or line.startswith("#"):
-                    self.filelines.append(line)
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    self._entries.append(_Entry(_BLANK))
+                elif line.startswith("#"):
+                    self._entries.append(_Entry(_COMMENT, value=line))
                 else:
                     key, _, value = line.partition("=")
-                    self.options[key.strip()] = value.strip()
-                    self.filelines.append(key.strip())
+                    self._entries.append(
+                        _Entry(_OPTION, key.strip(), value.strip()))
         return self
 
     def save(self, filename=None, mask=None):
@@ -74,13 +148,6 @@ class FabRunFile(MutableMapping):
         self.filepath = os.path.abspath(filename)
 
     def dump(self, stream, mask=None):
-        for line in self.filelines:
-            if not line or line.startswith("#"):
-                stream.write(line)
-            elif self.options.get(line, "") == "":
-                stream.write(line)
-            elif line == "mask" and mask is not None:
-                stream.write(f"mask={mask}")
-            else:
-                stream.write(f"{line}={self.options[line]}")
+        for e in self._entries:
+            stream.write(e.render(mask=mask))
             stream.write("\n")

@@ -1920,8 +1920,7 @@ class VBInference:
         """Interleave motion correction with VB continuation passes
         (MCobj::run_mc semantics: per-timepoint transforms estimated
         from the ORIGINAL data against the current model fit)."""
-        from ..core.motion import (CAPTURE_RANGE_VOXELS, make_registerer,
-                                   register_timeseries)
+        from ..core.motion import make_registerer, register_timeseries
 
         from ..exceptions import InvalidOptionValue
         if getattr(self, "mesh", None) is not None:
@@ -1948,11 +1947,12 @@ class VBInference:
             self._mc_registerer = make_registerer(coords, shape,
                                                   dof=self.mc_dof)
         self.mc_translations = []  # per-step max |translation|, logged
-        # estimates near the single-resolution capture range mean the
-        # TRUE motion may exceed it and be under-corrected (the cost
-        # surface is only locally convex); flagged for the runner's
-        # warning (VERDICT r2 weak item: saturation was silent)
+        # estimates near the PYRAMID's capture range (+-2 voxels of
+        # its top pool level) mean the TRUE motion may exceed it and
+        # be under-corrected (the cost surface is only locally
+        # convex); flagged for the runner's warning
         self.mc_saturated = False
+        self.mc_capture_range = self._mc_registerer.capture_range
         for step in range(self.num_mcsteps):
             fit = self.evaluate_model(np.asarray(result.means).T)  # [T,V]
             realigned, disp = register_timeseries(
@@ -1960,7 +1960,7 @@ class VBInference:
                 reg=self._mc_registerer)
             step_max = float(np.abs(disp).max())
             self.mc_translations.append(step_max)
-            if step_max >= 0.75 * CAPTURE_RANGE_VOXELS:
+            if step_max >= 0.75 * self._mc_registerer.capture_range:
                 self.mc_saturated = True
             self.data = jnp.asarray(realigned, self.data.dtype)
             cn = self.noise.state_from_mvn(result.noise_means,

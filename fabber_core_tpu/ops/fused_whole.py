@@ -548,14 +548,21 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
             # test -> freeze by the pre-test done flags.
             det_step = _mask_detector_step(detector, dtype)
 
+            # anchor: a concrete-layout zero plane derived from memory.
+            # Pure splat initializers infer a REPLICATED vector layout
+            # for the fori carry, and Mosaic cannot relayout the body's
+            # concrete outputs back to replicated ("invalid relayout
+            # {0,0} -> {*,*}"); adding the anchor pins every carry to a
+            # concrete layout from iteration 0.
+            anchor = 0.0 * dty[0]
+
             def mkconv():
-                z = jnp.zeros((ROWS, b), dtype)
+                z = anchor
                 return (z,                                       # its
-                        jnp.full((ROWS, b),
-                                 float(det_consts["sentinel"]), dtype),
-                        jnp.full((ROWS, b),
-                                 1.0 if det_consts["init_save"]
-                                 else 0.0, dtype),               # save
+                        anchor + dtype(float(det_consts["sentinel"])),
+                        anchor + (dtype(1.0)
+                                  if det_consts["init_save"]
+                                  else dtype(0.0)),              # save
                         z, z, z, z, z, z)  # rev/done/trials/tm/lmon/a
 
             def psel(mask, n, o):
@@ -598,10 +605,16 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
                         fz(b_pr2, b_pr), fz(b_cv2, b_cv),
                         fz(b_f2, b_f))
 
-            init = (bc0, zmeans, ztri, ztri, zfq,
-                    jnp.full((ROWS, b), 1234.5678, dtype), mkconv(),
-                    bc0, zmeans, ztri, ztri,
-                    jnp.zeros((ROWS, b), dtype))
+            def anch(x):
+                """Concrete-layout variant of a stacked splat init."""
+                k = x.shape[0] // ROWS
+                a = anchor if k == 1 else jnp.concatenate([anchor] * k, 0)
+                return x + a
+
+            init = (anch(bc0), anch(zmeans), anch(ztri), anch(ztri),
+                    anch(zfq), anchor + dtype(1234.5678), mkconv(),
+                    anch(bc0), anch(zmeans), anch(ztri), anch(ztri),
+                    anchor)
             (bc, means, prec_t, cov_t, fq, f_lane, conv,
              b_bc, b_me, b_pr, b_cv, b_f) = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n_iters), body, init)

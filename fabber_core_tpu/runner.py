@@ -93,12 +93,13 @@ def run(options, store, log=None, progress_cb=None):
             log.log(f"Motion correction step {k + 1}/{len(mc_shifts)}: "
                     f"max |translation| {val:.4f} voxels")
         if getattr(engine, "mc_saturated", False):
+            rng = getattr(engine, "mc_capture_range", 2.0)
             log.warn(
                 "Motion correction estimated displacements near its "
-                "capture range (+-2 voxels, single-resolution "
-                "Gauss-Newton): true subject motion may exceed it and "
-                "be under-corrected. Pre-register the data externally "
-                "if large motion is expected.")
+                f"capture range (+-{rng:.0f} voxels, multi-resolution "
+                "Gauss-Newton pyramid): true subject motion may exceed "
+                "it and be under-corrected. Pre-register the data "
+                "externally if large motion is expected.")
 
     resels = getattr(engine, "coefficient_resels", None)
     if resels is not None:

@@ -203,3 +203,34 @@ def test_mc_repeat_run_does_not_compound():
     # estimated shifts agree and results stay put instead of drifting
     assert abs(t1[0] - t2[0]) < 0.2, (t1, t2)
     assert np.abs(r1.means - r2.means).max() < 0.05
+
+
+def test_pyramid_recovers_large_translation():
+    """The multi-resolution pyramid extends the capture range past the
+    single-level +-2 voxels: a 4-voxel translation is recovered on a
+    volume large enough to support the 4x pool level (VERDICT r3
+    remedy for the saturation warning)."""
+    shape = (32, 32, 16)
+    coords = _full_coords(shape)
+    centre = np.array([15.5, 15.5, 7.5])
+    shift = np.array([4.0, -3.5, 2.5])
+    target = _blob(coords, centre, sigma=5.0)
+    moved = _blob(coords, centre + shift, sigma=5.0)
+    reg = make_registerer(coords, shape, dof=6, n_iters=12)
+    assert reg.levels[0] == 4 and reg.capture_range == 8.0
+    realigned, params = reg(moved, target)
+    assert np.allclose(np.asarray(params[:3]), shift, atol=0.1), \
+        np.asarray(params[:3])
+    # the realigned volume matches the target
+    err = np.abs(np.asarray(realigned) - target)
+    assert err.mean() < 0.02
+
+
+def test_pyramid_degrades_gracefully_on_small_volumes():
+    """Volumes too small for the coarse level drop it (a 2-cell pooled
+    axis makes the demeaned cost degenerate) and keep the
+    single-resolution capture range."""
+    coords = _full_coords(SHAPE)  # z extent 8: 8//4 = 2 < 4
+    reg = make_registerer(coords, SHAPE, dof=6)
+    assert reg.levels == (1,)
+    assert reg.capture_range == 2.0

@@ -480,11 +480,23 @@ class VBInference:
             whole_core = pick_whole_block(
                 1024, self.nparams, self.noise.nphis, _pt(self.nt),
                 det=self.whole_fdet is not None) is not None
+        # auto-priority: the whole-program kernel serves what the
+        # spectral tiers CANNOT (multi-group patterns, locked noise
+        # stdev, trialmode/lm detectors); where the spectral routes
+        # apply they stay preferred — measured faster on v5e (the
+        # kernel's VMEM fixed point currently trails the XLA eigenbasis
+        # loop; see docs/PARITY.md perf notes). Explicit
+        # engine-kernel=pallas-whole always wins.
+        spectral_covers = (spectral_ok and loop_gates_common
+                           and (det_name0 == "maxits"
+                                or det_name0 in ("pointzeroone",
+                                                 "freduce", "trialmode")))
         if kernel_mode == "pallas-whole":
             self.use_whole_kernel = whole_core
             self.whole_interpret = jax.default_backend() != "tpu"
         else:
             self.use_whole_kernel = (whole_core and kernel_mode == "auto"
+                                     and not spectral_covers
                                      and jax.default_backend() == "tpu")
             self.whole_interpret = False
         if self.use_whole_kernel:

@@ -333,6 +333,10 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
             return data_ref[pl.ds(t * jnp.int32(ROWS), ROWS), :]
 
         zero = jnp.zeros((ROWS, b), dtype)
+        # NB: python-unrolling these passes (static slices) makes the
+        # Mosaic compile pathological (>13 min, likely hung); the fori
+        # form compiles in ~20s and the slab reads are not the
+        # bottleneck (microbenchmark, round 4)
 
         # ---- pass 1: dty_a = sum_t (sum_q dwq) y ----------------------
         def body1(t, acc):

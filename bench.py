@@ -68,7 +68,7 @@ def build_engine(config, nv):
 
     f32 = jnp.float32
 
-    if config in ("poly", "poly-lm", "poly-p001"):
+    if config in ("poly", "poly-lm", "poly-p001", "poly-pattern"):
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
         if config == "poly-lm":
             # the LM robustness detector's first fast tier (in-kernel
@@ -77,6 +77,11 @@ def build_engine(config, nv):
             opts["convergence"] = "lm"
         elif config == "poly-p001":
             opts["convergence"] = "pointzeroone"
+        elif config == "poly-pattern":
+            # 2-group noise pattern: the whole-program kernel is the
+            # fast tier (the spectral collapse is single-group only —
+            # docs/PARITY.md). Opt-in config.
+            opts["noise-pattern"] = "12"
         t = jnp.arange(1, nt + 1, dtype=f32)[:, None]
 
         def slab_fn(k, m):
@@ -221,6 +226,7 @@ def build_engine(config, nv):
 
 NT_LABELS = {"poly": "T=106, P=3",
              "poly-lm": "T=106, P=3, lm detector",
+             "poly-pattern": "T=106, P=3, noise-pattern=12",
              "poly-p001": "T=106, P=3, pointzeroone", "biexp": "T=100, P=4",
              "biexp-fdet": "T=100, P=4, pointzeroone",
              "biexp-generic": "T=100, P=4, evaluate-only plugin tier",
@@ -240,7 +246,8 @@ NT_LABELS = {"poly": "T=106, P=3",
 # The kernel-bound configs (biexp/ar1) run the plain budget. The
 # stderr line and the utilization fields state each config's actual
 # voxel count; docs quote these same numbers.
-CONFIG_SCALE = {"poly": 4.0, "poly-lm": 1.0, "poly-p001": 1.0, "biexp": 1.0, "biexp-fdet": 1.0,
+CONFIG_SCALE = {"poly": 4.0, "poly-lm": 1.0, "poly-p001": 1.0,
+                "poly-pattern": 1.0, "biexp": 1.0, "biexp-fdet": 1.0,
                 "ar1": 1.0, "spatial": 2.0, "linear": 2.0,
                 "nlls": 1.0, "nlls-lm": 1.0, "spatial-p4": 1.0,
                 # NLLS-init runs the generic-Jacobian optimizer to
@@ -367,6 +374,21 @@ def main():
     _run_config(config, nv)
 
 
+# configs whose device-time probe runs by default ("all" mode): the
+# headline tiers. Each probe costs two extra remote compiles (the k=1
+# and k=3 scan variants), so the long tail of configs skips it unless
+# FABBER_BENCH_DEVTIME_ALL=1.
+DEVTIME_CONFIGS = ("poly", "spatial", "spatial-p4", "biexp")
+
+
+def _probe_ok(config):
+    if os.environ.get("FABBER_BENCH_DEVTIME", "1") == "0":
+        return False
+    if os.environ.get("FABBER_BENCH_DEVTIME_ALL") == "1":
+        return True
+    return config in DEVTIME_CONFIGS
+
+
 def _run_config(config, nv, quiet=False):
     import jax
 
@@ -454,7 +476,8 @@ def _run_config(config, nv, quiet=False):
 
         return _measure(run_once, eng.nvoxels, iters, config,
                         NT_LABELS[config], quiet, eng=eng,
-                        dispatch_k=dispatch_k)
+                        dispatch_k=dispatch_k if _probe_ok(config)
+                        else None)
 
     import jax.numpy as jnp
     chunk = min(eng._chunk_size(), nv)
@@ -498,7 +521,8 @@ def _run_config(config, nv, quiet=False):
 
             return _measure(run_once, nv, iters, config,
                             NT_LABELS[config], quiet, eng=eng,
-                            dispatch_k=dispatch_k)
+                            dispatch_k=dispatch_k if _probe_ok(config)
+                            else None)
 
     # single-dispatch path: initial state + VB loop in one compiled
     # program per window (eager init ops are host round trips on the
@@ -523,7 +547,8 @@ def _run_config(config, nv, quiet=False):
         jax.block_until_ready(final.post.means)
 
     dispatch_k = make_dispatch_k(chunk)[0] \
-        if can_stream and len(windows) == 1 else None
+        if can_stream and len(windows) == 1 and _probe_ok(config) \
+        else None
     return _measure(run_once, nv, iters, config, NT_LABELS[config], quiet,
                     eng=eng, dispatch_k=dispatch_k)
 

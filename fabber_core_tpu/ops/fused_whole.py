@@ -193,7 +193,9 @@ def n_whole_planes(p, nq, tp, det=False):
     outputs. det adds the in-kernel detector lanes and the best-state
     copies of the save/revert protocol."""
     ntri = p * (p + 1) // 2
-    data = tp
+    # the stats passes hold the whole tile + r0 + one product live
+    # (reshape-reduce form)
+    data = 4 * tp
     ins = 2 * p                      # pm, pp
     stats = p + nq + nq * p + p      # dty, rtqr, dtqr, m0
     carry = 2 * nq + p + 2 * ntri    # b/c, means, prec/cov tri
@@ -324,33 +326,36 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
         b_init = [cst(base + 2 * nq + q) for q in range(nq)]
         c_init = [cst(base + 3 * nq + q) for q in range(nq)]
 
-        def tslab(base_tp, t):
-            # [ROWS,1] per-timepoint constant slab at time index t
-            return tc_ref[pl.ds(jnp.int32(base_tp * ROWS)
-                                + t * jnp.int32(ROWS), ROWS), 0:1]
+        def tcol(base_tp, length_tp):
+            """[length_tp*ROWS, 1] contiguous per-timepoint constant
+            column (static slice)."""
+            return tc_ref[base_tp * ROWS:(base_tp + length_tp) * ROWS,
+                          0:1]
 
-        def yslab(t):
-            return data_ref[pl.ds(t * jnp.int32(ROWS), ROWS), :]
+        def tsum(x):
+            """Reduce a [tp*ROWS, B] plane over time -> [8, B]: the
+            sublane axis splits natively into (tp, ROWS) tile groups,
+            so this lowers to tp elementwise tile adds — no dynamic
+            slab loop. A fori + pl.ds slab walk here measured 36
+            ns/voxel (the ENTIRE kernel's cost); this form is the fix
+            (device-time decomposition, round 4)."""
+            return jnp.sum(x.reshape(tp, ROWS, b), axis=0)
 
-        zero = jnp.zeros((ROWS, b), dtype)
-        # NB: python-unrolling these passes (static slices) makes the
-        # Mosaic compile pathological (>13 min, likely hung); the fori
-        # form compiles in ~20s and the slab reads are not the
-        # bottleneck (microbenchmark, round 4)
+        def trep(plane):
+            """Broadcast an [8, B] plane across the tp time groups."""
+            return jnp.broadcast_to(plane[None], (tp, ROWS, b)) \
+                .reshape(tp * ROWS, b)
+
+        y_all = data_ref[...]  # [tp*ROWS, B]
 
         # ---- pass 1: dty_a = sum_t (sum_q dwq) y ----------------------
-        def body1(t, acc):
-            y = yslab(t)
-            out = []
-            for a in range(p):
-                w = tslab(off_dwq + a * tp, t)
-                for q in range(1, nq):
-                    w = w + tslab(off_dwq + (q * p + a) * tp, t)
-                out.append(acc[a] + w * y)
-            return tuple(out)
-
-        dty = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tp), body1,
-                                tuple(zero for _ in range(p)))
+        dty = []
+        for a in range(p):
+            w = tcol(off_dwq + a * tp, tp)
+            for q in range(1, nq):
+                w = w + tcol(off_dwq + (q * p + a) * tp, tp)
+            dty.append(tsum(w * y_all))
+        dty = tuple(dty)
 
         # OLS reference point by in-kernel f32 Cholesky solve of
         # A = sum_q dtqd. m0 MUST be solved in the same f32 arithmetic
@@ -381,27 +386,17 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
         m0 = [jnp.where(ok, m, dtype(0.0)) for m in m0]
 
         # ---- pass 2: rtqr / dtqr about r0 = y - D m0 ------------------
-        def body2(t, acc):
-            y = yslab(t)
-            r0 = y
-            for a in range(p):
-                r0 = r0 - tslab(off_dcol + a * tp, t) * m0[a]
-            rt = list(acc[:nq])
-            dt = list(acc[nq:])
-            for q in range(nq):
-                w = tslab(off_qcol + q * tp, t)
-                rt[q] = rt[q] + w * r0 * r0
-                for a in range(p):
-                    dt[q * p + a] = dt[q * p + a] \
-                        + tslab(off_dwq + (q * p + a) * tp, t) * r0
-            return tuple(rt + dt)
-
-        acc2 = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tp), body2,
-            tuple(zero for _ in range(nq + nq * p)))
-        rtqr = list(acc2[:nq])
-        dtqr = [[acc2[nq + q * p + a] for a in range(p)]
-                for q in range(nq)]
+        r0_all = y_all
+        for a in range(p):
+            r0_all = r0_all - tcol(off_dcol + a * tp, tp) * trep(m0[a])
+        rtqr = []
+        dtqr = []
+        for q in range(nq):
+            wq = tcol(off_qcol + q * tp, tp)
+            rtqr.append(tsum(wq * r0_all * r0_all))
+            dtqr.append([
+                tsum(tcol(off_dwq + (q * p + a) * tp, tp) * r0_all)
+                for a in range(p)])
 
         pm = [plane(pm_ref, i) for i in range(p)]
         pp = [plane(pp_ref, i) for i in range(p)]

@@ -85,7 +85,6 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
 
     def run(m0, rtqr, dtqr, pm):
         dt = m0.dtype
-        lam = jnp.asarray(lam_h, dt)[:, None]          # [P,1]
         ew = jnp.asarray(ew_h, dt)                     # [P,P]  W E
         # etw applies E'W ( = (WE)' since W is diagonal), etwi applies
         # E'W^-1 ( = (W^-1 E)'); both built from the host f64 factors
@@ -97,23 +96,41 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
 
         rtqr = rtqr.reshape(-1)[None, :] if rtqr.ndim == 1 else rtqr
         dtqy = dtqr + a @ m0                           # D'Qy  [P,V]
-        ut = etw @ dtqy                                # E'W u_y
-        u0t = etw @ dtqr                               # E'W u_0
-        vt = etw @ (pp * pm)                           # E'W (pp*pm)
-        m0t = etwi @ m0                                # E'W^-1 m0
+        # the P axis is UNROLLED into per-mode [V] rows: a [P,V] loop
+        # body makes XLA emit one reduction kernel per cross/quad/tr
+        # sum, each round-tripping its [P,V] input through HBM every
+        # iteration (~27ms of the 43ms device time at 8M; device-time
+        # probe r4). With [V] rows the whole body fuses into ONE
+        # elementwise kernel per iteration reading only the 4P+1
+        # loop-invariant rows.
+        ut = [r[0] for r in jnp.split(etw @ dtqy, p)]
+        u0t = [r[0] for r in jnp.split(etw @ dtqr, p)]
+        vt = [r[0] for r in jnp.split(etw @ (pp * pm), p)]
+        m0t = [r[0] for r in jnp.split(etwi @ m0, p)]
+        lam = [dt.type(float(x)) for x in lam_h]
 
         s0 = jnp.full_like(rtqr[0], float(init_b) * float(init_c))
         ib0 = dt.type(float(inv_b0))
         cpost = dt.type(float(c_post))
 
+        def quadratics(s):
+            cross = 0.0
+            quad = 0.0
+            tr = 0.0
+            mt = []
+            for i in range(p):
+                rden = 1.0 / (s * lam[i] + 1.0)
+                mt_i = (s * ut[i] + vt[i]) * rden
+                d_ = mt_i - m0t[i]
+                cross = cross + d_ * u0t[i]
+                quad = quad + lam[i] * d_ * d_
+                tr = tr + lam[i] * rden
+                mt.append(mt_i)
+            return mt, cross, quad, tr
+
         def body(_, carry):
             s, _b = carry
-            denom = s[None, :] * lam + 1.0             # [P,V]
-            mt = (s[None, :] * ut + vt) / denom
-            d_ = mt - m0t
-            cross = jnp.sum(d_ * u0t, axis=0)
-            quad = jnp.sum(lam * d_ * d_, axis=0)
-            tr = jnp.sum(lam / denom, axis=0)
+            _, cross, quad, tr = quadratics(s)
             kqk = jnp.maximum(rtqr[0] - 2.0 * cross + quad, 0.0)
             b = 1.0 / ((kqk + tr) * 0.5 + ib0)
             return b * cpost, b
@@ -122,16 +139,13 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
             jnp.int32(0), jnp.int32(n_iters - 1), body, (s0, s0))
         # the last iteration's posterior is reconstructed from the
         # phi that produced it (s entering iteration n)
-        denom = s_fin[None, :] * lam + 1.0
-        mt = (s_fin[None, :] * ut + vt) / denom
-        means = ew @ mt
+        mt, cross, quad, tr = quadratics(s_fin)
+        mt_m = jnp.stack(mt)
+        means = ew @ mt_m
+        rden = jnp.stack([1.0 / (s_fin * lam[i] + 1.0) for i in range(p)])
         # cov_ij = sum_k (WE)_ik (WE)_jk / denom_k ; prec = s A + diag(pp)
-        cov = jnp.einsum("ik,jk,kv->ijv", ew, ew, 1.0 / denom)
+        cov = jnp.einsum("ik,jk,kv->ijv", ew, ew, rden)
         # run the final noise update so b/c reflect the final means
-        d_ = mt - m0t
-        cross = jnp.sum(d_ * u0t, axis=0)
-        quad = jnp.sum(lam * d_ * d_, axis=0)
-        tr = jnp.sum(lam / denom, axis=0)
         kqk = jnp.maximum(rtqr[0] - 2.0 * cross + quad, 0.0)
         b = (1.0 / ((kqk + tr) * 0.5 + ib0))[None, :]
         c = jnp.full_like(b, cpost)
@@ -189,7 +203,6 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
 
     def run(m0, rtqr, dtqr, pm, conv0):
         dt = m0.dtype
-        lam = jnp.asarray(lam_h, dt)[:, None]
         ew = jnp.asarray(ew_h, dt)
         e_h = ew_h / winv_h[:, None]
         etw = jnp.asarray(ew_h.T, dt)
@@ -199,10 +212,14 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
 
         rtqr = rtqr.reshape(-1)[None, :] if rtqr.ndim == 1 else rtqr
         dtqy = dtqr + a @ m0
-        ut = etw @ dtqy
-        u0t = etw @ dtqr
-        vt = etw @ (pp * pm)
-        m0t = etwi @ m0
+        # P unrolled into [V] rows: one fused elementwise kernel per
+        # iteration instead of per-sum reduction kernels (see
+        # make_spectral_loop)
+        ut = [r[0] for r in jnp.split(etw @ dtqy, p)]
+        u0t = [r[0] for r in jnp.split(etw @ dtqr, p)]
+        vt = [r[0] for r in jnp.split(etw @ (pp * pm), p)]
+        m0t = [r[0] for r in jnp.split(etwi @ m0, p)]
+        lam = [dt.type(float(x)) for x in lam_h]
 
         nv = m0.shape[-1]
         s0 = jnp.full(nv, float(init_b) * float(init_c), dt)
@@ -211,6 +228,29 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
         cpost = dt.type(cpost_f)
         cbig = dt.type(const)
         true_v = jnp.ones(nv, bool)
+
+        def quadratics(g):
+            """cross/quad/tr + the ELBO's log/recip sums at phi g."""
+            cross = 0.0
+            quad = 0.0
+            tr = 0.0
+            logden = 0.0
+            rdensum = 0.0
+            mv2 = 0.0
+            mt = []
+            for i in range(p):
+                den = g * lam[i] + 1.0
+                rden = 1.0 / den
+                mt_i = (g * ut[i] + vt[i]) * rden
+                d_ = mt_i - m0t[i]
+                cross = cross + d_ * u0t[i]
+                quad = quad + lam[i] * d_ * d_
+                tr = tr + lam[i] * rden
+                logden = logden + jnp.log(den)
+                rdensum = rdensum + rden
+                mv2 = mv2 + (mt_i - vt[i]) ** 2
+                mt.append(mt_i)
+            return mt, cross, quad, tr, logden, rdensum, mv2
 
         # carry: (it, cur_s [phi mean of current noise], cur_b,
         #         gen_s [phi that generated current posterior],
@@ -232,22 +272,17 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
 
             # 2. theta update generated by the current phi mean
             g = cur_s
-            denom = g[None, :] * lam + 1.0
-            mt = (g[None, :] * ut + vt) / denom
-            d_ = mt - m0t
-            cross = jnp.sum(d_ * u0t, axis=0)
-            quad = jnp.sum(lam * d_ * d_, axis=0)
-            tr = jnp.sum(lam / denom, axis=0)
+            (_, cross, quad, tr, logden, rdensum,
+             mv2) = quadratics(g)
             kqk = jnp.maximum(rtqr[0] - 2.0 * cross + quad, 0.0)
             # 3. noise update
             b_new = 1.0 / ((kqk + tr) * 0.5 + ib0)
             s_new = b_new * cpost
             # 4. ELBO at (new means, new noise)
-            f = (cbig - 0.5 * jnp.sum(jnp.log(denom), axis=0)
+            f = (cbig - 0.5 * logden
                  + (cpost + 0.5) * jnp.log(b_new)
                  - b_new * cpost * (ib0 + 0.5 * kqk) - 0.5 * tr
-                 - 0.5 * jnp.sum((mt - vt) ** 2, axis=0)
-                 - 0.5 * jnp.sum(1.0 / denom, axis=0))
+                 - 0.5 * mv2 - 0.5 * rdensum)
             conv_new = detector.test(conv, f)
 
             # freeze lanes that were done before this iteration
@@ -270,10 +305,11 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
         sel_b = jnp.where(conv.revert, bb, cur_b)
         sel_init = jnp.where(conv.revert, bi, is_init)
 
-        denom = sel_gen[None, :] * lam + 1.0
-        mt = (sel_gen[None, :] * ut + vt) / denom
-        means = ew @ mt
-        cov = jnp.einsum("ik,jk,kv->ijv", ew, ew, 1.0 / denom)
+        mt, *_ = quadratics(sel_gen)
+        means = ew @ jnp.stack(mt)
+        rden = jnp.stack([1.0 / (sel_gen * lam[i] + 1.0)
+                          for i in range(p)])
+        cov = jnp.einsum("ik,jk,kv->ijv", ew, ew, rden)
         prec = (sel_gen[None, None, :] * a[:, :, None]
                 + jnp.eye(p, dtype=dt)[:, :, None] * pp[:, None])
         return means, prec, cov, sel_b[None, :], sel_init, conv

@@ -378,7 +378,7 @@ def main():
 # headline tiers. Each probe costs two extra remote compiles (the k=1
 # and k=3 scan variants), so the long tail of configs skips it unless
 # FABBER_BENCH_DEVTIME_ALL=1.
-DEVTIME_CONFIGS = ("poly", "spatial", "spatial-p4", "biexp")
+DEVTIME_CONFIGS = ("poly", "spatial")
 
 
 def _probe_ok(config):

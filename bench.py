@@ -508,13 +508,26 @@ def _run_config(config, nv, quiet=False):
         if schunk is not None:
             # in-program chunk streaming: the whole volume is ONE
             # dispatch — the window loop runs on device instead of one
-            # serialized tunnel round trip per window
+            # serialized tunnel round trip per window. Equal windows
+            # take the carry-free map path (vb.py
+            # compiled_streamed_map); the device-time probe tiles the
+            # SCAN variant (tiling the map variant would stack k
+            # volume-scale output copies).
             schunk = min(schunk, nv)
-            dispatch_k, streamed, sbind, starts, nwin = \
+            dispatch_k, streamed_scan, sbind, starts, nwin = \
                 make_dispatch_k(schunk)
-            print(f"# streamed: {nwin} x {schunk}-voxel windows in one "
-                  "dispatch", file=sys.stderr)
-            starts1 = jnp.asarray(starts, jnp.int32)
+            if nv % nwin == 0:
+                mchunk = nv // nwin
+                streamed = eng.compiled_streamed_map(mchunk)
+                starts1 = jnp.asarray(
+                    np.arange(nwin, dtype=np.int64) * mchunk, jnp.int32)
+                label = f"map {nwin} x {mchunk}"
+            else:
+                streamed = streamed_scan
+                starts1 = jnp.asarray(starts, jnp.int32)
+                label = f"scan {nwin} x {schunk}"
+            print(f"# streamed: {label}-voxel windows in one dispatch",
+                  file=sys.stderr)
 
             def run_once():
                 jax.block_until_ready(streamed(sbind, starts1)[0])

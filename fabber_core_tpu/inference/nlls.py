@@ -31,6 +31,17 @@ pathology fix the VB stats route applies to Eq 19-22
 (inference_nlls.cc:230-293 recompute J and the T-length residual
 every callback).
 
+Further, the damped solve collapses to SCALARS in an eigenbasis (the
+same trick as the VB spectral route, ops/spectral.py): the damping
+matrix is voxel-INVARIANT up to the per-lane scalar lambda —
+Levenberg damp = I, Marquardt damp = diag(D'D) — so with the
+(damp-whitened) Gram W (D'D) W = E diag(Lam) E' (host f64, W =
+damp^-1/2), the per-lane solve (D'D + lam damp)^-1 g becomes P
+independent rationals 1/(Lam_i + lam) in z = E'W^-1 d coordinates,
+and the cost quadratic is sum_i Lam_i z_i^2. The whole LM loop runs
+as ~8 fused elementwise [V]-row ops per iteration: no [P,P,V] plane
+is ever materialized inside the loop.
+
 Execution is windowed like the VB engine: one compiled program per
 fixed-size voxel window (initial estimates built on device when
 traceable), so device memory is bounded at any volume size.
@@ -54,6 +65,14 @@ LAMBDA_SHRINK = 0.1
 LAMBDA_MAX = 1e10
 PREC_DIAG_FLOOR = 1e-6
 FAIL_PRECISION = 1e-12
+# relative cost-gain convergence (the MISCMATHS nonlin driver's
+# cost-tolerance family, inference_nlls.cc:135-153): an accepted step
+# that improves the cost by <= CFTOL * |cost| converges the lane.
+# Without it a lane near the optimum keeps accepting roundoff-level
+# improvements (lambda shrinking each time), so it never reaches the
+# lambda ceiling and runs every one of the max iterations — measured
+# ~10x the useful work on the linear benchmark.
+CFTOL = 1e-8
 
 
 class NLLSState(NamedTuple):
@@ -141,6 +160,23 @@ class NLLSInference:
             if d is not None:
                 self.design = jnp.asarray(d, self.dtype)
         self.use_stats = self.design is not None
+        if self.use_stats:
+            # host-f64 eigenbasis of the damp-whitened Gram (module
+            # docstring): z = Bz d, grad coords Bg jtr, d = Bback z
+            dw = (np.asarray(self.design, np.float64)
+                  * np.asarray(tmask, np.float64))
+            dtd = dw.T @ dw
+            damp = np.diag(dtd).copy() if self.marquardt \
+                else np.ones(self.nparams)
+            damp = np.maximum(damp, 1e-300)
+            w = 1.0 / np.sqrt(damp)
+            lam_h, e_h = np.linalg.eigh(w[:, None] * dtd * w[None, :])
+            self._eig = (
+                [float(x) for x in np.maximum(lam_h, 0.0)],  # Lam
+                e_h.T * (1.0 / w)[None, :],                  # Bz
+                e_h.T * w[None, :],                          # Bg
+                w[:, None] * e_h,                            # Bback
+            )
 
     def route_description(self):
         """Which optimizer arithmetic this configuration landed on
@@ -282,7 +318,10 @@ class NLLSInference:
         params = jnp.where(better[None], trial, s.params)
         cost = jnp.where(better, trial_cost, s.cost)
         lam = jnp.where(better, s.lam * LAMBDA_SHRINK, s.lam * LAMBDA_GROW)
-        done = s.done | (lam > LAMBDA_MAX)
+        converged = better & (
+            s.cost - trial_cost
+            <= CFTOL * jnp.maximum(jnp.abs(trial_cost), 1e-30))
+        done = s.done | (lam > LAMBDA_MAX) | converged
 
         keep = s.done
         return NLLSState(
@@ -293,7 +332,9 @@ class NLLSInference:
             s.its + (~keep).astype(s.its.dtype))
 
     def _solve_body(self, p0, bind):
-        stats = self._make_stats(bind) if self.use_stats else None
+        if self.use_stats:
+            return self._solve_body_eigen(p0, bind)
+        stats = None
         nv = bind.data.shape[1]
         s0 = NLLSState(
             params=p0, cost=self._cost(p0, bind, stats),
@@ -311,6 +352,81 @@ class NLLSInference:
         d = sm.diag_of(prec)
         prec = sm.add_diag(jnp.where(jnp.eye(self.nparams, dtype=bool)
                                      [:, :, None], 0.0, prec),
+                           jnp.maximum(d, PREC_DIAG_FLOOR))
+        chol, _ = sm.cholesky_jittered(prec)
+        cov = sm.inverse_from_chol(chol)
+        return s, prec, cov
+
+    def _solve_body_eigen(self, p0, bind):
+        """Fixed-design LM loop in the damp-whitened eigenbasis: P
+        independent scalar rationals per lane per iteration (module
+        docstring). Same accept/reject/convergence semantics as
+        _step, so iteration counts match the generic route."""
+        dt = self.dtype
+        stats = self._make_stats(bind)
+        nv = bind.data.shape[1]
+        p = self.nparams
+        lam_h, bz_h, bg_h, bback_h = self._eig
+        lam_c = [jnp.asarray(x, dt) for x in lam_h]
+        bz = jnp.asarray(bz_h, dt)
+        bg = jnp.asarray(bg_h, dt)
+        bback = jnp.asarray(bback_h, dt)
+
+        # loop-invariant eigen-coordinate rows ([V] each)
+        u = [r[0] for r in jnp.split(bg @ stats.dtr, p)]
+        z0m = bz @ (p0 - stats.m0)
+        z0 = [r[0] for r in jnp.split(z0m, p)]
+        rtr = stats.rtr
+
+        def cost_of(z):
+            c = rtr
+            for i in range(p):
+                c = c + lam_c[i] * z[i] * z[i] - 2.0 * z[i] * u[i]
+            return c
+
+        def step(carry):
+            z, cost, lam, done, it, its = carry
+            trial = []
+            for i in range(p):
+                g = u[i] - lam_c[i] * z[i]
+                trial.append(z[i] + g / (lam_c[i] + lam))
+            tcost = cost_of(trial)
+            better = (tcost < cost) & jnp.isfinite(tcost)
+            znew = tuple(jnp.where(better, trial[i], z[i])
+                         for i in range(p))
+            cnew = jnp.where(better, tcost, cost)
+            lnew = jnp.where(better, lam * LAMBDA_SHRINK,
+                             lam * LAMBDA_GROW)
+            converged = better & (
+                cost - tcost <= CFTOL * jnp.maximum(jnp.abs(tcost),
+                                                    1e-30))
+            dnew = done | (lnew > LAMBDA_MAX) | converged
+            keep = done
+            z = tuple(jnp.where(keep, z[i], znew[i]) for i in range(p))
+            return (z, jnp.where(keep, cost, cnew),
+                    jnp.where(keep, lam, lnew), dnew, it + 1,
+                    its + (~keep).astype(its.dtype))
+
+        carry0 = (tuple(z0), cost_of(z0),
+                  jnp.full(nv, LAMBDA_INIT, dt),
+                  jnp.zeros(nv, bool), jnp.array(0, jnp.int32),
+                  jnp.zeros(nv, jnp.int32))
+        z, cost, lam, done, it, its = jax.lax.while_loop(
+            lambda c: (~jnp.all(c[3])) & (c[4] < self.max_its),
+            step, carry0)
+
+        params = stats.m0 + bback @ jnp.stack(z)
+        s = NLLSState(params=params, cost=cost, lam=lam, done=done,
+                      it=it, its=its)
+        # posterior precision = J'J/mse with the diagonal floor — the
+        # only [P,P,V] planes of the whole solve, built once
+        jtj = jnp.broadcast_to(stats.dtd[:, :, None],
+                               stats.dtd.shape + (nv,))
+        mse = cost / (self.n_unmasked - p)
+        prec = jtj / mse[None, None]
+        d = sm.diag_of(prec)
+        prec = sm.add_diag(jnp.where(jnp.eye(p, dtype=bool)[:, :, None],
+                                     0.0, prec),
                            jnp.maximum(d, PREC_DIAG_FLOOR))
         chol, _ = sm.cholesky_jittered(prec)
         cov = sm.inverse_from_chol(chol)

@@ -1761,6 +1761,85 @@ class VBInference:
 
         return streamed
 
+    def compiled_streamed_map(self, chunk):
+        """Equal-window streaming without volume-scale carries: when
+        the window count divides the volume exactly, lax.map stacks
+        per-window outputs [W, ..., chunk] and one device-side
+        transpose+reshape assembles the [..., V] planes — the scan
+        path's dynamic_update_slice carries double-buffer ~1GB of
+        output planes per window, measured ~½ of the streaming
+        overhead at 16M voxels."""
+        inner = self.compiled_loop()
+        self._ensure_noise_prior()
+        needs_fused = (getattr(self, "use_fused", False)
+                       or getattr(self, "use_nl_loop", False))
+        p, nt = self.nparams, self.nt
+        if needs_fused:
+            from ..ops.fused_vb import pad_time
+            tp = pad_time(nt)
+
+        def window_bind(bind, lo):
+            dsl = jax.lax.dynamic_slice
+            z = jnp.int32(0)
+            d = dsl(bind.data, (z, lo), (nt, chunk))
+            coords = dsl(bind.coords, (z, lo), (3, chunk))
+            supp = dsl(bind.supp, (z, lo), (bind.supp.shape[0], chunk))
+            base = bind.prior_base_means
+            if base.shape[-1] != 1:
+                base = dsl(base, (z, lo), (p, chunk))
+            locked = bind.locked_centres
+            if not isinstance(locked, tuple):
+                locked = dsl(locked, (z, lo), (p, chunk))
+            fused = ()
+            if needs_fused:
+                df = d.astype(self.dtype)
+                fused = df if tp == nt else jnp.pad(
+                    df, ((0, tp - nt), (0, 0)), mode="edge")
+            return bind._replace(data=d, coords=coords, supp=supp,
+                                 prior_base_means=base,
+                                 locked_centres=locked, fused_data=fused)
+
+        report = getattr(self, "progress_cb", None)
+        nv_total = self.nvoxels
+
+        def report_window(lo):
+            report(min(int(lo) + chunk, nv_total), nv_total)
+
+        def unstack(x):
+            """[W, ..., chunk] -> [..., W*chunk]."""
+            if x.ndim == 1:
+                return x  # per-window scalars stay stacked
+            return jnp.moveaxis(x, 0, -2).reshape(
+                x.shape[1:-1] + (x.shape[0] * x.shape[-1],))
+
+        @jax.jit
+        def streamed(bind, starts):
+            def body(lo):
+                wbind = window_bind(bind, lo)
+                s0 = self.initial_state(lo=0, hi=chunk, data=wbind.data)
+                fin, _ = inner(s0, wbind)
+                fhist = ()
+                if self.save_fhist:
+                    last = jax.lax.dynamic_index_in_dim(
+                        fin.fhist, jnp.maximum(fin.it - 1, 0), 0,
+                        keepdims=False)
+                    rows = jnp.arange(self.max_iter_cap)[:, None] < fin.it
+                    fhist = jnp.where(rows, fin.fhist, last[None, :])
+                if report is not None:
+                    jax.debug.callback(report_window, lo)
+                return (fin.post.means, fin.post.cov, fin.post.noise,
+                        fin.f, fin.conv.its, fhist, fin.it)
+
+            means, cov, noise, f, its, fhist, itn = jax.lax.map(
+                body, starts)
+            return (unstack(means), unstack(cov),
+                    jax.tree_util.tree_map(unstack, noise),
+                    unstack(f), unstack(its),
+                    unstack(fhist) if self.save_fhist else (),
+                    jnp.max(itn))
+
+        return streamed
+
     def _stream_result_bytes(self):
         """Per-voxel bytes of the streamed output planes (resident for
         the whole dispatch, on top of the data plane)."""
@@ -1793,9 +1872,16 @@ class VBInference:
     def _run_streamed(self, chunk):
         nv = self.nvoxels
         nwin = -(-nv // chunk)
-        starts = np.arange(nwin, dtype=np.int64) * chunk
-        starts[-1] = nv - chunk
-        streamed = self.compiled_streamed(chunk)
+        if nv % nwin == 0:
+            # equal windows: the carry-free map path (shrinking the
+            # window to the exact divisor only reduces temporaries)
+            chunk = nv // nwin
+            starts = np.arange(nwin, dtype=np.int64) * chunk
+            streamed = self.compiled_streamed_map(chunk)
+        else:
+            starts = np.arange(nwin, dtype=np.int64) * chunk
+            starts[-1] = nv - chunk
+            streamed = self.compiled_streamed(chunk)
         outs = streamed(self._bind(build_fused=False),
                         jnp.asarray(starts, jnp.int32))
         cb = getattr(self, "progress_cb", None)

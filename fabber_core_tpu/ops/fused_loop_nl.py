@@ -550,10 +550,15 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 tuple(zero_1b for _ in range(ntri)))
         if detector is not None:
             # prev_f starts at the engine's sentinel (convergence.py
-            # init_state: finfo.min clamp of the reference's -99e99)
+            # init_state: finfo.min clamp of the reference's -99e99).
+            # anchor: splat initializers would pin the fori carry to a
+            # REPLICATED vector layout that the body's concrete outputs
+            # cannot relayout to ("invalid relayout {0,0}->{*,*}",
+            # same trap as ops/fused_whole.py)
             sent = float(jnp.finfo(jnp.float32).min)
-            init = init + (zero_1b, jnp.full((1, b), sent, dtype),
-                           zero_1b, zero_1b, zero_1b, zero_1b, zero_1b)
+            anchor = 0.0 * centre0_ref[0:1]
+            init = init + (anchor, anchor + dtype(sent),
+                           anchor, anchor, anchor, anchor, anchor)
             (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
              logdet, rev, rev_f) = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n_iters), iteration, init)

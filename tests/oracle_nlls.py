@@ -15,6 +15,7 @@ LAMBDA_GROW = 10.0
 LAMBDA_SHRINK = 0.1
 LAMBDA_MAX = 1e10
 PREC_DIAG_FLOOR = 1e-6
+CFTOL = 1e-8  # relative cost-gain convergence (engine's CFTOL)
 
 
 def exp_signal_and_jac(latent, t):
@@ -49,12 +50,14 @@ def nlls_voxel(y, t, latent0, max_its=100, marquardt=False):
         tsig, _ = exp_signal_and_jac(trial, t)
         tcost = float(np.sum((y - tsig) ** 2))
         better = np.isfinite(tcost) and tcost < cost
+        converged = False
         if better:
+            converged = (cost - tcost) <= CFTOL * max(abs(tcost), 1e-30)
             p, cost = trial, tcost
             lam *= LAMBDA_SHRINK
         else:
             lam *= LAMBDA_GROW
-        done = lam > LAMBDA_MAX
+        done = lam > LAMBDA_MAX or converged
         its += 1
         trace.append((p.copy(), cost, lam, done))
 

@@ -115,3 +115,18 @@ def test_stream_chunk_gates_on_residents():
             os.environ.pop("FABBER_TPU_MEM_GB")
         else:
             os.environ["FABBER_TPU_MEM_GB"] = old
+
+
+def test_streamed_map_path_equals_host():
+    """Equal-window volumes take the carry-free lax.map path
+    (nv % nwin == 0 -> compiled_streamed_map); results identical to
+    host-side windows."""
+    rng = np.random.default_rng(12)
+    nv, nt = 120, 24  # chunk 40 -> nwin 3 -> 120 % 3 == 0: map path
+    data, coords = _mkdata(rng, nv, nt, "poly")
+    extra = {"model": "poly", "degree": "1"}
+    streamed, eng = _run(data, coords, extra)
+    # confirm the division actually selects the map path
+    assert nv % (-(-nv // 40)) == 0
+    hosted, _ = _run(data, coords, {**extra, "chunk-streaming": "off"})
+    _assert_same(streamed, hosted)

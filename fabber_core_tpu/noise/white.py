@@ -299,10 +299,20 @@ class WhiteNoiseModel(NoiseModel):
         m0 = jnp.where(ok & jnp.all(jnp.isfinite(m0), axis=0), m0, 0.0)
 
         r0 = data - design @ m0  # [T,V]
-        rtqr = jnp.stack([jnp.sum(q[i][:, None] * r0 * r0, axis=0)
-                          for i in range(self.nphis)])
-        dtqr = jnp.stack([design.T @ (q[i][:, None] * r0)
-                          for i in range(self.nphis)])
+        # all-ones group indicators (the common single-group unmasked
+        # case) skip their multiply: q_i * r0 ahead of a matmul
+        # materializes another [T,V] plane in HBM — one write + one
+        # read of pure identity work (rtqr's multiply fuses into its
+        # reduction, so only the matmul operand matters)
+        ones_mask = [bool(np.all(np.asarray(self.qmasks[i]) == 1.0))
+                     for i in range(self.nphis)]
+        rtqr = jnp.stack([
+            jnp.sum((r0 * r0 if ones_mask[i]
+                     else q[i][:, None] * r0 * r0), axis=0)
+            for i in range(self.nphis)])
+        dtqr = jnp.stack([
+            design.T @ (r0 if ones_mask[i] else q[i][:, None] * r0)
+            for i in range(self.nphis)])
         return DesignStats(m0=m0, rtqr=rtqr, dtqr=dtqr, dtqd=dtqd)
 
     @staticmethod

@@ -211,9 +211,14 @@ def pick_whole_block(nvoxels, p, nq, tp, det=False):
     pick_block."""
     planes = n_whole_planes(p, nq, tp, det)
     # block/ROWS is the kernel's lane count: must stay a multiple of
-    # 128 (Mosaic block-shape constraint), so 1024 is the floor
+    # 128 (Mosaic block-shape constraint), so 1024 is the floor. This
+    # kernel's budget runs higher than the shared VMEM_BUDGET: the
+    # dominant plane is the data tile itself (counted 4x for the live
+    # stats temporaries), and larger tiles mean proportionally larger
+    # DMA bursts through the folded layout's strided rows.
+    budget = max(VMEM_BUDGET, 12 << 20)
     fitting = [bb for bb in (8192, 4096, 2048, 1024)
-               if planes * bb * 4 * 2 <= VMEM_BUDGET]
+               if planes * bb * 4 * 2 <= budget]
     if not fitting:
         return None
     for bb in fitting:

@@ -619,9 +619,26 @@ def make_fused_whole_loop(nparams, nq, n_iters, nt, nvoxels, dtype,
                     anch(zfq), anchor + dtype(1234.5678), mkconv(),
                     anch(bc0), anch(zmeans), anch(ztri), anch(ztri),
                     anchor)
+
+            # EARLY-EXIT while: stop once every lane in this tile is
+            # done (frozen lanes never commit, so this is outcome-
+            # identical to running the full static cap — which for lm
+            # is the 16x worst-case alpha-ladder bound, ~7x the typical
+            # trip count). Mosaic lowers a scalar while with a
+            # cross-lane-reduced condition fine (verified on v5e).
+            def wcond(c):
+                it = c[0]
+                done_plane = c[7][4]  # conv tuple: index 4 = done mask
+                return (it < jnp.int32(n_iters)) \
+                    & (jnp.min(done_plane) < 0.5)
+
+            def wbody(c):
+                return (c[0] + 1,) + body(c[0], c[1:])
+
+            out = jax.lax.while_loop(wcond, wbody,
+                                     (jnp.int32(0),) + init)
             (bc, means, prec_t, cov_t, fq, f_lane, conv,
-             b_bc, b_me, b_pr, b_cv, b_f) = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n_iters), body, init)
+             b_bc, b_me, b_pr, b_cv, b_f) = out[1:]
 
             # post-loop save/revert (engine _finalize)
             sv, rv = conv[2], conv[3]

@@ -559,9 +559,25 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             anchor = 0.0 * centre0_ref[0:1]
             init = init + (anchor, anchor + dtype(sent),
                            anchor, anchor, anchor, anchor, anchor)
+
+            # EARLY-EXIT while: a tile stops at its slowest lane once
+            # every lane's done mask is set (carry slot 7, the dn
+            # plane), instead of running the static max-iterations trip
+            # count with frozen lanes recomputing — outcome-identical
+            # (frozen lanes never commit), big at the reference's
+            # documented max-iterations=50 configs. Mosaic lowers the
+            # cross-lane-reduced scalar condition fine (fused_whole).
+            def wcond(c):
+                return (c[0] < jnp.int32(n_iters)) \
+                    & (jnp.min(c[1 + 7]) < 0.5)
+
+            def wbody(c):
+                return (c[0] + 1,) + iteration(c[0], c[1:])
+
+            out = jax.lax.while_loop(wcond, wbody,
+                                     (jnp.int32(0),) + init)
             (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
-             logdet, rev, rev_f) = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n_iters), iteration, init)
+             logdet, rev, rev_f) = out[1:]
         else:
             means, bq, cq, prec, cov_t = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n_iters), iteration, init)

@@ -160,6 +160,34 @@ class NLLSInference:
             if d is not None:
                 self.design = jnp.asarray(d, self.dtype)
         self.use_stats = self.design is not None
+
+        # Whole-loop Pallas tier for NONLINEAR (time-signal) models
+        # (ops/fused_nlls.py): the entire damped-GN loop on
+        # VMEM-resident state, model + Jacobian re-evaluated in-kernel
+        # — the generic XLA route re-materializes [P,T,V] planes per
+        # accept/reject step. Auto on TPU; engine-kernel=pallas-loop
+        # forces interpret mode off-TPU; =xla disables.
+        kernel_mode = options.get_string("engine-kernel", "auto")
+        self.use_nl_kernel = False
+        self.nlls_interpret = False
+        if (not self.use_stats
+                and hasattr(model, "time_signal")
+                and lin_mode == "auto"
+                and self.suppdata is None
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+                and options.get_string("fwd-initial-posterior",
+                                       "modeldefault") == "modeldefault"
+                and kernel_mode in ("auto", "pallas-loop")):
+            from ..ops.fused_nlls import pick_nlls_block
+            from ..ops.fused_vb import pad_time
+            ok = pick_nlls_block(1024, self.nparams,
+                                 pad_time(self.nt)) is not None
+            if kernel_mode == "pallas-loop":
+                self.use_nl_kernel = ok
+                self.nlls_interpret = jax.default_backend() != "tpu"
+            else:
+                self.use_nl_kernel = ok \
+                    and jax.default_backend() == "tpu"
         if self.use_stats:
             # host-f64 eigenbasis of the damp-whitened Gram (module
             # docstring): z = Bz d, grad coords Bg jtr, d = Bback z
@@ -183,7 +211,10 @@ class NLLSInference:
         (logged by the runner, mirroring the VB route line)."""
         if self.use_stats:
             return ("fixed-design sufficient-statistics NLLS "
-                    "(P-dim LM loop, XLA)")
+                    "(P-dim LM loop in the damp-whitened eigenbasis)")
+        if self.use_nl_kernel:
+            return ("whole-loop nonlinear NLLS Pallas kernel "
+                    "(in-kernel model re-evaluation)")
         return "generic-Jacobian NLLS (per-iteration linearization)"
 
     def initial_means(self):
@@ -334,6 +365,8 @@ class NLLSInference:
     def _solve_body(self, p0, bind):
         if self.use_stats:
             return self._solve_body_eigen(p0, bind)
+        if self.use_nl_kernel:
+            return self._solve_body_nl_kernel(p0, bind)
         stats = None
         nv = bind.data.shape[1]
         s0 = NLLSState(
@@ -355,6 +388,51 @@ class NLLSInference:
                            jnp.maximum(d, PREC_DIAG_FLOOR))
         chol, _ = sm.cholesky_jittered(prec)
         cov = sm.inverse_from_chol(chol)
+        return s, prec, cov
+
+    def _solve_body_nl_kernel(self, p0, bind):
+        """Whole-loop Pallas NLLS (ops/fused_nlls.py) for time-signal
+        models: one data read per voxel tile, every optimizer step on
+        VMEM-resident state."""
+        from ..ops.fused_nlls import make_fused_nlls_loop, pick_nlls_block
+        from ..ops.fused_vb import pad_time
+
+        nv = bind.data.shape[1]
+        p = self.nparams
+        tp = pad_time(self.nt)
+        block, pad = pick_nlls_block(nv, p, tp)
+
+        def pad_v(x):
+            if pad and x.shape[-1] == nv:
+                width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                return jnp.pad(x, width, mode="edge")
+            return x
+
+        data = pad_v(bind.data.astype(self.dtype))
+        if tp != self.nt:
+            # padded rows carry zero weight in the kernel's mask column
+            data = jnp.concatenate(
+                [data] + [data[-1:]] * (tp - self.nt), axis=0)
+
+        tmask_np = np.asarray(self.tmask, np.float32).reshape(-1)
+        fused = make_fused_nlls_loop(
+            self.model.time_signal,
+            [pm.transform for pm in self.params],
+            p, self.nt, self.max_its, nv + pad, self.dtype, tmask_np,
+            marquardt=self.marquardt, block=block,
+            interpret=self.nlls_interpret,
+            time_signal_jac=getattr(self.model, "time_signal_jac",
+                                    None))
+        params, cost, its, prec, cov = fused(pad_v(p0), data)
+        if pad:
+            params, cost, its = (params[..., :nv], cost[..., :nv],
+                                 its[..., :nv])
+            prec, cov = prec[..., :nv], cov[..., :nv]
+        s = NLLSState(params=params, cost=cost,
+                      lam=jnp.zeros(nv, self.dtype),
+                      done=jnp.ones(nv, bool),
+                      it=jnp.array(self.max_its, jnp.int32),
+                      its=its.astype(jnp.int32))
         return s, prec, cov
 
     def _solve_body_eigen(self, p0, bind):
@@ -441,7 +519,10 @@ class NLLSInference:
             return explicit
         item = jnp.dtype(self.dtype).itemsize
         p, t = self.nparams, self.nt
-        if self.use_stats:
+        if getattr(self, "use_nl_kernel", False):
+            # in-kernel loop: data plane + posterior outputs only
+            per_vox = (2 * t + 3 * p * p + 6 * p + 16) * item
+        elif self.use_stats:
             # one [T,V] stats pass; loop temps are P-dim planes
             per_vox = (3 * t + 8 * p * p + 10 * p + 24) * item
         else:

@@ -393,41 +393,50 @@ class NLLSInference:
     def _solve_body_nl_kernel(self, p0, bind):
         """Whole-loop Pallas NLLS (ops/fused_nlls.py) for time-signal
         models: one data read per voxel tile, every optimizer step on
-        VMEM-resident state."""
+        VMEM-resident state. Under a voxel mesh the kernel dispatches
+        per-shard via shard_map (the VB kernels' convention)."""
         from ..ops.fused_nlls import make_fused_nlls_loop, pick_nlls_block
         from ..ops.fused_vb import pad_time
+        from .vb import _shard_kernel
 
         nv = bind.data.shape[1]
         p = self.nparams
         tp = pad_time(self.nt)
-        block, pad = pick_nlls_block(nv, p, tp)
+        tmask_np = np.asarray(self.tmask, np.float32).reshape(-1)
+        tsj = getattr(self.model, "time_signal_jac", None)
+        transforms = [pm.transform for pm in self.params]
 
-        def pad_v(x):
-            if pad and x.shape[-1] == nv:
-                width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
-                return jnp.pad(x, width, mode="edge")
-            return x
-
-        data = pad_v(bind.data.astype(self.dtype))
+        data = bind.data.astype(self.dtype)
         if tp != self.nt:
             # padded rows carry zero weight in the kernel's mask column
+            # (time axis is unsharded, so this is mesh-safe)
             data = jnp.concatenate(
                 [data] + [data[-1:]] * (tp - self.nt), axis=0)
 
-        tmask_np = np.asarray(self.tmask, np.float32).reshape(-1)
-        fused = make_fused_nlls_loop(
-            self.model.time_signal,
-            [pm.transform for pm in self.params],
-            p, self.nt, self.max_its, nv + pad, self.dtype, tmask_np,
-            marquardt=self.marquardt, block=block,
-            interpret=self.nlls_interpret,
-            time_signal_jac=getattr(self.model, "time_signal_jac",
-                                    None))
-        params, cost, its, prec, cov = fused(pad_v(p0), data)
-        if pad:
-            params, cost, its = (params[..., :nv], cost[..., :nv],
-                                 its[..., :nv])
-            prec, cov = prec[..., :nv], cov[..., :nv]
+        def run_local(p0_l, data_l):
+            nv_l = p0_l.shape[-1]
+            block, pad = pick_nlls_block(nv_l, p, tp)
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv_l:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_nlls_loop(
+                self.model.time_signal, transforms, p, self.nt,
+                self.max_its, nv_l + pad, self.dtype, tmask_np,
+                marquardt=self.marquardt, block=block,
+                interpret=self.nlls_interpret, time_signal_jac=tsj)
+            outs = fused(pad_v(p0_l), pad_v(data_l))
+            if pad:
+                outs = tuple(o[..., :nv_l] for o in outs)
+            return outs
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, 2), out_vox_dims=(2, 1, 1, 3, 3))
+        params, cost, its, prec, cov = dispatch(p0, data)
         s = NLLSState(params=params, cost=cost,
                       lam=jnp.zeros(nv, self.dtype),
                       done=jnp.ones(nv, bool),

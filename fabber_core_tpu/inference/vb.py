@@ -210,8 +210,9 @@ class VBInference:
                        "(per-iteration time-signal kernel), pallas-loop "
                        "(whole-loop stats kernel), pallas-whole "
                        "(in-kernel stats + fixed point), spectral "
-                       "(eigenbasis scalar fixed point), or xla",
-                       default="auto"),
+                       "(eigenbasis scalar fixed point), spectral-whole "
+                       "(in-kernel stats + eigenbasis fixed point), "
+                       "or xla", default="auto"),
             OptionSpec("fixed-design-route", OPT_STR,
                        "Fixed-design update arithmetic: stats (sufficient "
                        "statistics; the iteration loop never touches "
@@ -519,6 +520,41 @@ class VBInference:
             self.use_spectral_fdet = (sfd_eligible
                                       and jax.default_backend() == "tpu")
 
+        # Whole-program SPECTRAL kernel (ops/fused_spectral.py): the
+        # one-read in-kernel statistics of the whole kernel + the
+        # scalar eigenbasis fixed point in one Pallas invocation — the
+        # flagship route's speed-of-light form (ONE data read, ~25 VPU
+        # flops per voxel-iteration, posterior written straight from
+        # VMEM). Same gates as the spectral routes; maxits runs the
+        # static fixed point, pointzeroone / trialmode run their lane
+        # state machines in-kernel on the scalar (generating phi,
+        # noise b) save/revert pair. Preferred over every other route
+        # where it applies (auto, on TPU); engine-kernel=spectral-whole
+        # forces it (interpreted off-TPU, for tests).
+        sw_det = det_name0 \
+            if det_name0 in ("pointzeroone", "trialmode") else None
+        sw_core = (
+            loop_gates_common and spectral_ok
+            and self.design is not None
+            and jnp.dtype(self.store_dtype) == jnp.dtype(jnp.float32)
+            and (det_name0 == "maxits" or sw_det is not None)
+            and int(self.detector.max_iterations) >= 1)
+        if sw_core:
+            from ..ops.fused_spectral import pick_spectral_block
+            sw_core = pick_spectral_block(
+                1024, self.nparams, self.nt,
+                det=sw_det is not None) is not None
+        self.spectral_whole_fdet = sw_det
+        if kernel_mode == "spectral-whole":
+            self.use_spectral_whole = sw_core
+            self.sw_interpret = jax.default_backend() != "tpu"
+        else:
+            self.use_spectral_whole = (sw_core and kernel_mode == "auto"
+                                       and jax.default_backend() == "tpu")
+            self.sw_interpret = False
+        if self.use_spectral_whole:
+            self.use_loop_kernel = True  # shared run()/dispatch gates
+
         # Whole-loop nonlinear kernel (ops/fused_loop_nl.py): for
         # time-signal models the ENTIRE maxits fixed point runs on
         # VMEM-resident state — one data read, one posterior write —
@@ -595,6 +631,11 @@ class VBInference:
         can see whether their configuration landed on a fast tier and,
         if not, which option gated it (docs/MIGRATION.md 'Plugin
         models and the fast tiers')."""
+        if getattr(self, "use_spectral_whole", False):
+            det = f", in-kernel {self.spectral_whole_fdet} detector" \
+                if getattr(self, "spectral_whole_fdet", None) else ""
+            return ("whole-program spectral Pallas kernel (in-kernel "
+                    f"statistics + eigenbasis fixed point{det})")
         if getattr(self, "use_whole_kernel", False):
             det = f", in-kernel {self.whole_fdet} detector" \
                 if getattr(self, "whole_fdet", None) else ""
@@ -1434,6 +1475,140 @@ class VBInference:
 
         return loop
 
+    def _compiled_loop_spectral_whole(self):
+        """Whole-program SPECTRAL Pallas route (ops/fused_spectral.py):
+        in-kernel one-read sufficient statistics + the scalar
+        eigenbasis fixed point — one data read and one posterior write
+        per voxel, everything between on VMEM-resident state. The
+        fixed point is the identical algebra of ops/spectral.py; the
+        statistics differ from make_design_stats only in summation
+        order (same tolerance argument as ops/fused_whole.py)."""
+        from ..noise.white import WhiteNoiseState
+        from ..ops.fused_spectral import (make_fused_spectral_loop,
+                                          pack_spectral_consts,
+                                          pack_spectral_time_consts,
+                                          pick_spectral_block)
+        from ..ops.spectral import eigen_elbo_const
+
+        self._ensure_noise_prior()
+        _, post1 = self.noise.initial_state(1, self.dtype)
+        init_b = float(post1.b[0, 0])
+        init_c = float(post1.c[0, 0])
+        b0 = float(np.asarray(self.noise_prior.b).reshape(-1)[0])
+        c0 = float(np.asarray(self.noise_prior.c).reshape(-1)[0])
+        nt_g = float(np.asarray(self.noise.ntimes_per_group).reshape(-1)[0])
+        c_post = (nt_g - 1.0) * 0.5 + c0
+        n_iters = int(self.detector.max_iterations)
+        p = self.nparams
+        fdet = self.spectral_whole_fdet
+        design_h = np.asarray(self.design, np.float64)
+        qm_h = np.asarray(self.noise.qmasks, np.float64)[0]
+        pp_h = np.asarray(self.prior_setup.base_precs, np.float64)
+        det_consts = None
+        det_extra = None
+        if fdet:
+            # static cap = the engine's while-loop bound; lanes freeze
+            # in place once their state machine says done
+            n_iters = self.max_iter_cap
+            conv1 = self.detector.init_state(1, self.dtype)
+            det_consts = {"sentinel": float(np.asarray(conv1.prev_f)[0]),
+                          "init_save": bool(np.asarray(conv1.save)[0])}
+            det_extra = (eigen_elbo_const(qm_h, c_post, c0, b0, p),
+                         c_post + 0.5)
+        tconsts = pack_spectral_time_consts(design_h, qm_h, self.nt,
+                                            self.dtype)
+        sconsts = pack_spectral_consts(
+            design_h, qm_h, self.nt, pp_h, 1.0 / b0, c_post,
+            init_b, init_c, self.dtype, det_extra)
+
+        def run_local(data, tcs, scs, prior_means):
+            """Kernel dispatch on one device's voxel planes."""
+            nv = data.shape[-1]
+            block, pad = pick_spectral_block(nv, p, self.nt,
+                                             det=fdet is not None)
+
+            def pad_v(x):
+                if pad and x.shape[-1] == nv:
+                    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    return jnp.pad(x, width, mode="edge")
+                return x
+
+            fused = make_fused_spectral_loop(
+                p, n_iters, self.nt, nv + pad, self.dtype, block=block,
+                interpret=self.sw_interpret,
+                detector=self.detector if fdet else None,
+                det_consts=det_consts)
+            dataf = fused.fold_data(pad_v(data).astype(self.dtype))
+            outs = fused(dataf, tcs, scs, pad_v(prior_means))
+            if pad:
+                outs = tuple(o[..., :nv] for o in outs)
+            return outs
+
+        dispatch = _shard_kernel(
+            getattr(self, "mesh", None), run_local,
+            in_vox_dims=(2, None, None, 2),
+            out_vox_dims=(2, 3, 3, 2, 2, 2, 2))
+
+        @jax.jit
+        def loop(s, bind):
+            nv = bind.data.shape[1]
+            prior_means = jnp.broadcast_to(
+                jnp.asarray(bind.prior_base_means, self.dtype), (p, nv))
+            prior_prec = jnp.broadcast_to(
+                jnp.asarray(self.prior_setup.base_precs, self.dtype),
+                (p, nv))
+            means, prec, cov, nb, nc, fkqk, ftr = dispatch(
+                bind.data, tconsts, sconsts, prior_means)
+
+            if fdet:
+                # lanes whose selected state is the engine-initial
+                # posterior ride a sign tag on b (the initial posterior
+                # is off the spectral manifold): restore them from s,
+                # exactly as the XLA spectral-fdet route does
+                sel_init = nb[0] < 0
+                nb = jnp.abs(nb)
+                means = jnp.where(sel_init[None, :], s.post.means, means)
+                prec = jnp.where(sel_init[None, None, :],
+                                 s.post.prec, prec)
+                cov = jnp.where(sel_init[None, None, :], s.post.cov, cov)
+                nb = jnp.where(sel_init[None, :], s.post.noise.b, nb)
+                nc = jnp.where(sel_init[None, :], s.post.noise.c, nc)
+                prior_means = jnp.where(sel_init[None, :],
+                                        s.post.prior_means, prior_means)
+                prior_prec = jnp.where(sel_init[None, :],
+                                       s.post.prior_prec, prior_prec)
+
+            noise_post = WhiteNoiseState(nb, nc)
+            post = PosteriorState(means, prec, cov, prior_means,
+                                  prior_prec, noise_post)
+            if fdet:
+                # fkqk/ftr carry the in-kernel per-lane F (recomputed
+                # at the selected state) and iteration counts
+                f = fkqk[0] if self.need_f else s.f
+                conv = s.conv._replace(
+                    its=ftr[0].astype(jnp.int32), prev_f=fkqk[0],
+                    done=jnp.ones(nv, bool))
+                itn = self.max_iter_cap
+            else:
+                if self.need_f:
+                    # fprior is zero for the (non-ARD, non-spatial)
+                    # priors this route admits; F from the in-kernel
+                    # final quadratics
+                    f = self.noise.free_energy_from_parts(
+                        noise_post, self.noise_prior, means, prec, cov,
+                        prior_means, prior_prec, [fkqk[0]], [ftr[0]])
+                else:
+                    f = s.f
+                conv = s.conv._replace(
+                    its=jnp.full(nv, n_iters, jnp.int32),
+                    done=jnp.ones(nv, bool))
+                itn = n_iters
+            out = s._replace(it=jnp.array(itn, jnp.int32), post=post,
+                             centre=means, f=f, conv=conv)
+            return out, None
+
+        return loop
+
     def _compiled_loop_spectral(self):
         """Spectral route (ops/spectral.py): scalar rational fixed
         point in the whitened design eigenbasis. Same fixed point as
@@ -1580,6 +1755,8 @@ class VBInference:
 
     def compiled_loop(self):
         """The full jitted device computation: state -> final state."""
+        if getattr(self, "use_spectral_whole", False):
+            return self._compiled_loop_spectral_whole()
         if getattr(self, "use_whole_kernel", False):
             return self._compiled_loop_whole()
         if getattr(self, "use_spectral_fdet", False):
@@ -1936,7 +2113,8 @@ class VBInference:
             return explicit
         item = jnp.dtype(self.dtype).itemsize
         p, t = self.nparams, self.nt
-        if getattr(self, "use_whole_kernel", False):
+        if getattr(self, "use_whole_kernel", False) \
+                or getattr(self, "use_spectral_whole", False):
             # in-kernel stats: the only [T,V]-scale allocations are the
             # data plane and its padded/folded copy; everything else is
             # tile-sized VMEM or the [P,P,V] outputs

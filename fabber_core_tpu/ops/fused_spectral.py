@@ -1,0 +1,493 @@
+"""Whole-program SPECTRAL Pallas kernel: one-read in-kernel sufficient
+statistics + the scalar eigenbasis fixed point, one Pallas invocation.
+
+This is the flagship fixed-design route's speed-of-light form. The two
+prior tiers each leave most of the hardware idle:
+
+- the XLA spectral route (ops/spectral.py) runs the cheap eigenbasis
+  fixed point (~20 flops/voxel-iter) but pays ~5 effective HBM passes
+  over the [T,V] data for its sufficient statistics
+  (noise/white.py make_design_stats: dty matmul, r0 materialization,
+  rtqr/dtqr reductions), plus per-iteration [V]-row traffic and the
+  reconstruction/F passes — measured 9% of HBM peak on device at 16M
+  voxels (round-4 device-time probe);
+- the whole-program Cholesky kernel (ops/fused_whole.py) reads the
+  data once but runs the full P-dim Cholesky/inverse fixed point on
+  the VPU every iteration.
+
+Here the data tile is the kernel input and the fixed point is the
+spectral collapse: per voxel tile the kernel
+
+    pass 1  accumulates dty_a = sum_t w[t] d[t,a] y[t]    (OLS rhs)
+    solve   m0 by in-kernel f32 Cholesky of the constant A = D'QD
+            (same-arithmetic requirement as ops/fused_whole.py: a
+            host-f64 inverse would break r0's f32 orthogonality)
+    pass 2  accumulates, about r0 = y - D m0:
+              rtqr = sum_t q[t] r0^2,  dtqr_a = sum_t q[t] d[t,a] r0
+    eigen   rotates the statistics into the whitened design eigenbasis
+            (4P lane rows; host-f64 factors as lane-uniform constants)
+    loop    the ENTIRE n_iters fixed point as P scalar rationals per
+            voxel on VMEM-resident state (algebra of
+            ops/spectral.py make_spectral_loop, verbatim)
+    write   the reconstructed P x P posterior + noise state + the
+            final ELBO quadratics (kqk, tr).
+
+HBM traffic per voxel: ONE read of the data column plus the posterior
+write — with a per-iteration cost of ~25 VPU flops this route is
+HBM-bound by construction. No time padding is needed: the voxel fold
+[T,V] -> [T*ROWS, V/ROWS] is a contiguous (free) reshape for any T,
+and every per-timepoint slab is sublane-aligned.
+
+Eligibility (gated by the engine, inference/vb.py): the spectral
+gates — fixed design, white noise with ONE phi group, unlocked noise
+stdev, voxel-uniform prior precisions, iteration-invariant priors,
+f32 compute AND storage. Detector family: maxits runs the static
+fixed point; pointzeroone / freduce / trialmode run their batched
+lane state machines in-kernel (ops/fused_whole._mask_detector_step —
+the f32-mask transcription of inference/convergence.py) with the
+save/revert protocol on the scalar (generating phi, noise b) pair —
+every spectral posterior is a pure function of its generating phi
+(ops/spectral.py make_spectral_detector_loop's protocol, verbatim).
+
+Reference equations: noisemodel_white.cc:228-363 (Eq 19-22),
+inference_vb.cc:451-525 (save/revert); the eigenbasis collapse has no
+reference counterpart (TPU-native design).
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_loop import ROWS, VMEM_BUDGET, make_voxel_layout, _tri
+from .fused_whole import _mask_detector_step
+from .spectral import spectral_basis
+
+
+def n_spectral_planes(p, nt, det=False):
+    """Live [8, B/8]-plane estimate for pick_spectral_block: the data
+    tile counts 4x for the stats-pass temporaries (tile + r0 + one
+    product, reshape-reduce form), plus stats, eigen rows, loop carry
+    and outputs. det adds the in-kernel detector lanes plus the
+    scalar best-state pair."""
+    data = 4 * nt
+    ins = p                          # pm
+    stats = 3 * p + 1                # dty, m0, dtqr, rtqr
+    eigen = 4 * p                    # ut, u0t, vt, m0t
+    carry = 2
+    outs = p + 2 * p * p + 4
+    det_planes = (9 + 4 + 4) if det else 0
+    return data + ins + stats + eigen + carry + outs + det_planes
+
+
+def pick_spectral_block(nvoxels, p, nt, det=False):
+    """Voxel tile size (None = does not fit VMEM; caller falls back).
+    Same contract and budget rationale as fused_whole.pick_whole_block
+    (the dominant plane is the data tile itself)."""
+    planes = n_spectral_planes(p, nt, det)
+    budget = max(VMEM_BUDGET, 12 << 20)
+    fitting = [bb for bb in (8192, 4096, 2048, 1024)
+               if planes * bb * 4 * 2 <= budget]
+    if not fitting:
+        return None
+    for bb in fitting:
+        if nvoxels % bb == 0:
+            return bb, 0
+    bb = fitting[-1]
+    return bb, (-nvoxels) % bb
+
+
+def pack_spectral_time_consts(design, qmask, nt, dtype):
+    """[R*ROWS, 1] per-timepoint constants column, rows replicated
+    ROWS-wise (lane-only broadcast in-kernel; Mosaic cannot broadcast
+    sublanes and lanes in one op). Order: dcol (P x T unweighted
+    design), dw (P x T mask-weighted design), qcol (T indicators).
+    No time padding (see module docstring)."""
+    d = np.asarray(design, np.float64)[:nt]
+    q = np.asarray(qmask, np.float64).reshape(-1)[:nt]
+    p = d.shape[1]
+    cols = [d[:, a] for a in range(p)]
+    cols += [d[:, a] * q for a in range(p)]
+    cols += [q]
+    flat = np.concatenate(cols)
+    return jnp.asarray(np.repeat(flat, ROWS)[:, None], dtype)
+
+
+def pack_spectral_consts(design, qmask, nt, pp, inv_b0, c_post,
+                         init_b, init_c, dtype, det_extra=None):
+    """[K*ROWS, 1] scalar constants: A (P*P, f32 — the kernel's OLS
+    solve must see the same rounding as its stats), etw / etwi / ew
+    (P*P each), lam (P), pp (P), then inv_b0 / c_post / b_init /
+    c_init. det_extra appends the detector-mode ELBO constants
+    (f_const, lb_coeff, sentinel, init_save)."""
+    d = np.asarray(design, np.float64)[:nt]
+    q = np.asarray(qmask, np.float64).reshape(-1)[:nt]
+    a, lam, ew, winv = spectral_basis(d, q, pp)
+    e = ew / winv[:, None]
+    etw = ew.T                       # applies E' W
+    etwi = (e / winv[:, None]).T     # applies E' W^-1
+    flat = np.concatenate([
+        a.reshape(-1), etw.reshape(-1), etwi.reshape(-1), ew.reshape(-1),
+        lam, np.asarray(pp, np.float64).reshape(-1),
+        [float(inv_b0), float(c_post), float(init_b), float(init_c)],
+        [] if det_extra is None else list(det_extra)])
+    return jnp.asarray(np.repeat(flat, ROWS)[:, None], dtype)
+
+
+def make_fused_spectral_loop(nparams, n_iters, nt, nvoxels, dtype,
+                             block=2048, interpret=False, detector=None,
+                             det_consts=None):
+    """Build the whole-program spectral callable.
+
+    Returns fn(dataf [T*ROWS, V/ROWS], tconsts, consts,
+               prior_means [P,V])
+        -> (means [P,V], prec [P,P,V], cov [P,P,V], b [1,V], c [1,V],
+            fkqk [1,V], ftr [1,V])
+    where dataf is the voxel-folded data plane (fold_data — a free
+    reshape) and fkqk/ftr are the final-iteration quadratics for the
+    engine's free-energy assembly (noise/white.py
+    free_energy_from_parts).
+
+    detector (optional): a pointzeroone / freduce / trialmode
+    instance. Its state machine runs in-kernel each iteration on the
+    per-lane eigenbasis ELBO (the ops/spectral.py
+    make_spectral_detector_loop collapse), with save/revert on the
+    scalar (generating phi, noise b, is_init) triple. n_iters must
+    then be the engine's max_iter_cap. The outputs become
+    fkqk = selected per-lane F, ftr = per-lane iteration counts, and
+    b carries a sign tag on lanes whose selected state is the
+    engine-initial posterior (b negated; the caller restores those
+    lanes from the initial planes — the initial posterior is off the
+    spectral manifold). det_consts: {"f_const": the host-folded
+    constant block of the eigenbasis ELBO, "lb_coeff": c_post + 1/2,
+    "sentinel", "init_save"}.
+    """
+    p = nparams
+    tri = _tri(p)
+
+    if block % ROWS != 0 or nvoxels % block != 0:
+        raise ValueError(
+            f"block={block} must be a multiple of ROWS={ROWS} and divide "
+            f"nvoxels={nvoxels} (caller pads)")
+
+    def plane(ref, i):
+        return ref[i * ROWS:(i + 1) * ROWS]
+
+    off_dcol = 0
+    off_dw = p * nt
+    off_qcol = 2 * p * nt
+
+    fdet = detector is not None
+
+    def kernel(data_ref, tc_ref, consts_ref, pm_ref,
+               means_out, prec_out, cov_out, b_out, c_out,
+               fkqk_out, ftr_out):
+        b = pm_ref.shape[-1]
+
+        def cst(row):
+            return consts_ref[row * ROWS:(row + 1) * ROWS, 0:1]
+
+        def A(i, j):
+            return cst(i * p + j)
+
+        def ETW(i, a):
+            return cst(p * p + i * p + a)
+
+        def ETWI(i, a):
+            return cst(2 * p * p + i * p + a)
+
+        def EW(a, i):
+            return cst(3 * p * p + a * p + i)
+
+        lam = [cst(4 * p * p + i) for i in range(p)]
+        pp = [cst(4 * p * p + p + i) for i in range(p)]
+        base = 4 * p * p + 2 * p
+        inv_b0 = cst(base)
+        c_post = cst(base + 1)
+        b_init = cst(base + 2)
+        c_init = cst(base + 3)
+        if fdet:
+            f_const = cst(base + 4)
+            lb_coeff = cst(base + 5)
+
+        def tcol(base_t, length_t):
+            return tc_ref[base_t * ROWS:(base_t + length_t) * ROWS, 0:1]
+
+        def tsum(x):
+            """Reduce a [T*ROWS, B] plane over time -> [8, B] (the
+            sublane axis splits natively into (T, ROWS) tile groups —
+            T elementwise tile adds; see fused_whole)."""
+            return jnp.sum(x.reshape(nt, ROWS, b), axis=0)
+
+        def trep(pl_):
+            return jnp.broadcast_to(pl_[None], (nt, ROWS, b)) \
+                .reshape(nt * ROWS, b)
+
+        y_all = data_ref[...]  # [T*ROWS, B]
+
+        # ---- pass 1: dty_a = sum_t q d_a y -----------------------------
+        dty = [tsum(tcol(off_dw + a * nt, nt) * y_all) for a in range(p)]
+
+        # OLS reference point: in-kernel f32 Cholesky solve of the
+        # constant A (fused_whole's same-arithmetic requirement; the
+        # factor planes are lane-uniform consts)
+        ti = {ij: k for k, ij in enumerate(tri)}
+        ch = [None] * len(tri)
+        for i in range(p):
+            s = A(i, i)
+            for k in range(i):
+                s = s - ch[ti[(i, k)]] ** 2
+            ch[ti[(i, i)]] = jnp.sqrt(s)
+            inv_d = 1.0 / ch[ti[(i, i)]]
+            for j in range(i + 1, p):
+                s = A(j, i)
+                for k in range(i):
+                    s = s - ch[ti[(j, k)]] * ch[ti[(i, k)]]
+                ch[ti[(j, i)]] = s * inv_d
+        fwd = [None] * p
+        for i in range(p):
+            s = dty[i]
+            for k in range(i):
+                s = s - ch[ti[(i, k)]] * fwd[k]
+            fwd[i] = s / ch[ti[(i, i)]]
+        m0 = [None] * p
+        for i in range(p - 1, -1, -1):
+            s = fwd[i]
+            for k in range(i + 1, p):
+                s = s - ch[ti[(k, i)]] * m0[k]
+            m0[i] = s / ch[ti[(i, i)]]
+        ok = jnp.isfinite(m0[0])
+        for i in range(1, p):
+            ok = ok & jnp.isfinite(m0[i])
+        m0 = [jnp.where(ok, m, dtype(0.0)) for m in m0]
+
+        # ---- pass 2: rtqr / dtqr about r0 = y - D m0 -------------------
+        r0_all = y_all
+        for a in range(p):
+            r0_all = r0_all - tcol(off_dcol + a * nt, nt) * trep(m0[a])
+        wq = tcol(off_qcol, nt)
+        rtqr = tsum(wq * r0_all * r0_all)
+        dtqr = [tsum(tcol(off_dw + a * nt, nt) * r0_all)
+                for a in range(p)]
+
+        # ---- eigenbasis rows (ops/spectral.py, verbatim algebra) -------
+        pm = [plane(pm_ref, i) for i in range(p)]
+        dtqy = [dtqr[a] + sum(A(a, j) * m0[j] for j in range(p))
+                for a in range(p)]
+        ut = [sum(ETW(i, a) * dtqy[a] for a in range(p)) for i in range(p)]
+        u0t = [sum(ETW(i, a) * dtqr[a] for a in range(p))
+               for i in range(p)]
+        vt = [sum(ETW(i, a) * (pp[a] * pm[a]) for a in range(p))
+              for i in range(p)]
+        m0t = [sum(ETWI(i, a) * m0[a] for a in range(p))
+               for i in range(p)]
+
+        # anchor: concrete-layout zero (pure-splat fori carries infer a
+        # REPLICATED layout the body outputs can't relayout to)
+        anchor = 0.0 * dty[0]
+        s0 = anchor + b_init * c_init
+
+        def quadratics(s):
+            cross = 0.0
+            quad = 0.0
+            tr = 0.0
+            mt = []
+            rden = []
+            for i in range(p):
+                rd = 1.0 / (s * lam[i] + 1.0)
+                mt_i = (s * ut[i] + vt[i]) * rd
+                d_ = mt_i - m0t[i]
+                cross = cross + d_ * u0t[i]
+                quad = quad + lam[i] * d_ * d_
+                tr = tr + lam[i] * rd
+                mt.append(mt_i)
+                rden.append(rd)
+            return mt, cross, quad, tr, rden
+
+        def elbo_quadratics(s):
+            """quadratics + the eigenbasis ELBO sums (detector mode)."""
+            cross = 0.0
+            quad = 0.0
+            tr = 0.0
+            logden = 0.0
+            rdensum = 0.0
+            mv2 = 0.0
+            for i in range(p):
+                den = s * lam[i] + 1.0
+                rd = 1.0 / den
+                mt_i = (s * ut[i] + vt[i]) * rd
+                d_ = mt_i - m0t[i]
+                cross = cross + d_ * u0t[i]
+                quad = quad + lam[i] * d_ * d_
+                tr = tr + lam[i] * rd
+                logden = logden + jnp.log(den)
+                rdensum = rdensum + rd
+                mv2 = mv2 + (mt_i - vt[i]) ** 2
+            return cross, quad, tr, logden, rdensum, mv2
+
+        if not fdet:
+            def body(_, carry):
+                s, _b = carry
+                _, cross, quad, tr, _ = quadratics(s)
+                kqk = jnp.maximum(rtqr - 2.0 * cross + quad, 0.0)
+                bq = 1.0 / ((kqk + tr) * 0.5 + inv_b0)
+                return bq * c_post, bq
+
+            s_fin, _ = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(n_iters - 1), body, (s0, s0))
+            sel_init = None
+        else:
+            # detector mode: the in-loop state is the scalar pair
+            # (cur_s, gen_s) + is_init + best copies + the f32-mask
+            # detector lanes (fused_whole's transcription of the
+            # batched state machines). Iteration order matches
+            # ops/spectral.py make_spectral_detector_loop: best-save ->
+            # update from cur_s -> noise -> ELBO -> test -> freeze by
+            # pre-test done. The noise b and the lane F need no
+            # carries: both are pure functions of the generating phi,
+            # recomputed at the selected phi after the loop (identical
+            # arithmetic on identical inputs). NB _mask_detector_step
+            # must run INSIDE the kernel trace: its dtype(...) scalar
+            # constants are jax arrays, which as factory-scope closure
+            # captures would be rejected by pallas_call.
+            det_step = _mask_detector_step(detector, dtype)
+            one = dtype(1.0)
+            sent = anchor + dtype(float(det_consts["sentinel"]))
+            save0 = anchor + (one if det_consts["init_save"]
+                              else dtype(0.0))
+
+            def mkconv():
+                z = anchor
+                return (z, sent, save0, z, z, z, z, z, z)
+
+            def wcond(c):
+                it = c[0]
+                done_plane = c[6][4]
+                return (it < jnp.int32(n_iters)) \
+                    & (jnp.min(done_plane) < 0.5)
+
+            def wbody(c):
+                (it, cur_s, gen_s, is_init, bg, bi, conv) = c
+                # 1. best-save where flagged
+                sv = conv[2]
+                bg2 = sv * gen_s + (1.0 - sv) * bg
+                bi2 = sv * is_init + (1.0 - sv) * bi
+                # 2-3. update generated by cur_s + noise update
+                g = cur_s
+                cross, quad, tr, logden, rdensum, mv2 = \
+                    elbo_quadratics(g)
+                kqk = jnp.maximum(rtqr - 2.0 * cross + quad, 0.0)
+                b_new = 1.0 / ((kqk + tr) * 0.5 + inv_b0)
+                s_new = b_new * c_post
+                # 4. eigenbasis ELBO at (new means, new noise)
+                f = (f_const - 0.5 * logden
+                     + lb_coeff * jnp.log(b_new)
+                     - b_new * c_post * (inv_b0 + 0.5 * kqk)
+                     - 0.5 * tr - 0.5 * mv2 - 0.5 * rdensum)
+                conv_n = det_step(conv, f)
+                # 5. freeze lanes done BEFORE this iteration
+                fro = conv[4]
+                act = 1.0 - fro
+
+                def fz(n, o):
+                    return act * n + fro * o
+
+                conv_m = tuple(fz(n, o) for n, o in zip(conv_n, conv))
+                return (it + 1, fz(s_new, cur_s), fz(g, gen_s),
+                        is_init * fro, fz(bg2, bg), fz(bi2, bi), conv_m)
+
+            init = (jnp.int32(0), s0, s0, anchor + one,
+                    s0, anchor + one, mkconv())
+            out = jax.lax.while_loop(wcond, wbody, init)
+            (_, cur_s, gen_s, is_init, bg, bi, conv) = out
+            # post-loop save/revert (engine _finalize)
+            sv, rv = conv[2], conv[3]
+            bg = sv * gen_s + (1.0 - sv) * bg
+            bi = sv * is_init + (1.0 - sv) * bi
+            s_fin = rv * bg + (1.0 - rv) * gen_s
+            sel_init = rv * bi + (1.0 - rv) * is_init
+            its_lane = conv[0]
+
+        # ---- reconstruction from the generating phi --------------------
+        mt, cross, quad, tr, rden = quadratics(s_fin)
+        kqk = jnp.maximum(rtqr - 2.0 * cross + quad, 0.0)
+        b_fin = 1.0 / ((kqk + tr) * 0.5 + inv_b0)
+        means = [sum(EW(a, i) * mt[i] for i in range(p))
+                 for a in range(p)]
+
+        for a in range(p):
+            means_out[a * ROWS:(a + 1) * ROWS] = means[a]
+        for i in range(p):
+            for j in range(p):
+                cov_ij = sum(EW(i, k) * EW(j, k) * rden[k]
+                             for k in range(p))
+                prec_ij = s_fin * A(i, j) + (pp[i] if i == j else 0.0)
+                prec_out[(i * p + j) * ROWS:(i * p + j + 1) * ROWS] = \
+                    prec_ij
+                cov_out[(i * p + j) * ROWS:(i * p + j + 1) * ROWS] = \
+                    cov_ij
+        ones = jnp.ones((ROWS, b), dtype)
+        if not fdet:
+            b_out[:] = b_fin
+            c_out[:] = c_post * ones
+            fkqk_out[:] = kqk
+            ftr_out[:] = tr
+        else:
+            # per-lane F recomputed at the selected state (the same
+            # recompute-at-final-state semantics as the XLA
+            # spectral-fdet route's free_energy_stats call); b_fin is
+            # bit-identical to the selected state's in-loop noise b
+            # (same arithmetic, same inputs). The b output is negated
+            # on lanes whose selected state is the engine-initial
+            # posterior (off the spectral manifold; caller restores).
+            _, _, _, logden, rdensum, mv2 = elbo_quadratics(s_fin)
+            f_sel = (f_const - 0.5 * logden
+                     + lb_coeff * jnp.log(b_fin)
+                     - b_fin * c_post * (inv_b0 + 0.5 * kqk)
+                     - 0.5 * tr - 0.5 * mv2 - 0.5 * rdensum)
+            b_out[:] = (1.0 - 2.0 * sel_init) * b_fin
+            c_out[:] = c_post * ones
+            fkqk_out[:] = f_sel
+            ftr_out[:] = its_lane
+
+    grid = (nvoxels // block,)
+    fold, unfold, vox_spec, fixed_spec, _, vcols = \
+        make_voxel_layout(nvoxels, block)
+    ntc = 2 * p * nt * ROWS + nt * ROWS
+    nsc = (4 * p * p + 2 * p + 4 + (2 if detector is not None else 0)) \
+        * ROWS
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vox_spec(nt), fixed_spec(ntc, 1), fixed_spec(nsc, 1),
+                  vox_spec(p)],
+        out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
+                   vox_spec(1), vox_spec(1), vox_spec(1), vox_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((ROWS, vcols), dtype),
+            jax.ShapeDtypeStruct((ROWS, vcols), dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def fold_data(data):
+        """[T,V] -> [T*ROWS, V/ROWS]: a contiguous (free) reshape —
+        no time padding (the reshape-reduce tsum is sublane-aligned
+        for any T)."""
+        return data.reshape(nt, ROWS, vcols).reshape(nt * ROWS, vcols)
+
+    def run(dataf, tconsts, consts, prior_means):
+        means, prec_f, cov_f, b, c, fkqk, ftr = call(
+            dataf, tconsts, consts, fold(prior_means))
+        return (unfold(means), unfold(prec_f).reshape(p, p, nvoxels),
+                unfold(cov_f).reshape(p, p, nvoxels), unfold(b),
+                unfold(c), unfold(fkqk), unfold(ftr))
+
+    run.fold_data = fold_data
+    return run

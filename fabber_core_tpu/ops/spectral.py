@@ -156,6 +156,19 @@ def make_spectral_loop(design_host, qmask_host, pp_host, n_iters,
     return run
 
 
+def eigen_elbo_const(qmask_host, c_post, c0, b0, p):
+    """Host-f64 constant block of the eigenbasis ELBO (derivation in
+    make_spectral_detector_loop's docstring). Shared with the
+    whole-program spectral kernel (ops/fused_spectral.py)."""
+    t_n = float(np.asarray(qmask_host, np.float64).sum())
+    cpost_f = float(c_post)
+    return (0.5 * p - 0.5 * t_n * math.log(2 * math.pi)
+            + float(_gammaln(cpost_f)) + cpost_f
+            + 0.5 * float(_digamma(cpost_f))
+            - float(_gammaln(float(c0)))
+            - float(c0) * math.log(float(b0)))
+
+
 def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
                                 max_iter_cap, init_b, init_c, inv_b0,
                                 c_post, b0, c0, dtype):
@@ -192,14 +205,9 @@ def make_spectral_detector_loop(design_host, qmask_host, pp_host, detector,
                                               pp_host)
     p = a_h.shape[0]
     pp_h = np.asarray(pp_host, np.float64).reshape(-1)
-    t_n = float(np.asarray(qmask_host, np.float64).sum())
     cpost_f = float(c_post)
     # host-side f64 constant block of the ELBO (derivation above)
-    const = (0.5 * p - 0.5 * t_n * math.log(2 * math.pi)
-             + float(_gammaln(cpost_f)) + cpost_f
-             + 0.5 * float(_digamma(cpost_f))
-             - float(_gammaln(float(c0)))
-             - float(c0) * math.log(float(b0)))
+    const = eigen_elbo_const(qmask_host, c_post, c0, b0, p)
 
     def run(m0, rtqr, dtqr, pm, conv0):
         dt = m0.dtype

@@ -1,0 +1,110 @@
+"""Whole-program spectral Pallas kernel (ops/fused_spectral.py):
+interpret-mode equivalence with the XLA routes. The fixed point is the
+identical algebra of ops/spectral.py; the in-kernel sufficient
+statistics differ from noise/white.py make_design_stats only in
+summation order and the OLS reference point's in-kernel solve (m0 is a
+reference point — any finite value is correct), so tolerances are f32
+roundoff at the problem's conditioning, same scale as
+tests/test_fused_whole.py.
+"""
+
+import numpy as np
+import pytest
+
+from test_fused_loop import make_engine, assert_match
+
+
+@pytest.mark.parametrize("nv", [256, 200])  # 200 exercises edge padding
+def test_spectral_whole_matches_xla_stats(nv):
+    rx = make_engine(nv, "xla").run()
+    eng = make_engine(nv, "spectral-whole")
+    assert eng.use_spectral_whole and eng.sw_interpret
+    assert "whole-program spectral" in eng.route_description()
+    assert_match(rx, eng.run())
+
+
+def test_spectral_whole_matches_xla_spectral():
+    """Bit-comparable fixed point vs the XLA eigenbasis route (same
+    algebra; only the statistics' summation order differs)."""
+    rs = make_engine(256, "spectral").run()
+    eng = make_engine(256, "spectral-whole")
+    assert eng.use_spectral_whole
+    assert_match(rs, eng.run())
+
+
+@pytest.mark.parametrize("extra", [
+    {"max-iterations": "3"},
+    {"max-iterations": "1"},
+    {"degree": "0"},  # P=1
+    {"mt1": "3", "mt2": "17"},  # masked timepoints
+], ids=["short", "single-iter", "p1", "masked"])
+def test_spectral_whole_extended_cases(extra):
+    degree = int(extra.pop("degree", 2))
+    rx = make_engine(128, "xla", dict(extra), degree=degree).run()
+    eng = make_engine(128, "spectral-whole", dict(extra), degree=degree)
+    assert eng.use_spectral_whole
+    assert_match(rx, eng.run())
+
+
+def test_spectral_whole_image_prior():
+    """Voxelwise prior means thread through bind.prior_base_means."""
+    nv = 128
+    img = np.linspace(-0.5, 0.5, nv).astype(np.float32)
+
+    def build(mode):
+        return make_engine(nv, mode, {"PSP_byname1": "c0",
+                                      "PSP_byname1_type": "I",
+                                      "PSP_byname1_image": "prior_img"},
+                           voxel_data_getter=lambda key: img)
+
+    rx = build("xla").run()
+    eng = build("spectral-whole")
+    assert eng.use_spectral_whole
+    assert_match(rx, eng.run())
+
+
+def test_spectral_whole_nonpadded_time():
+    """No time padding anywhere: any T works (the fold is a free
+    contiguous reshape)."""
+    rx = make_engine(128, "xla", nt=29).run()
+    eng = make_engine(128, "spectral-whole", nt=29)
+    assert eng.use_spectral_whole
+    assert_match(rx, eng.run())
+
+
+@pytest.mark.parametrize("det", ["pointzeroone", "trialmode"])
+def test_spectral_whole_fdet(det):
+    """In-kernel detector state machines: iteration counts match the
+    XLA route's batched machines exactly; the posterior matches at
+    stats tolerance."""
+    extra = {"convergence": det, "max-iterations": "20"}
+    rx = make_engine(200, "xla", dict(extra)).run()
+    eng = make_engine(200, "spectral-whole", dict(extra))
+    assert eng.use_spectral_whole
+    assert eng.spectral_whole_fdet == det
+    rp = eng.run()
+    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+    assert_match(rx, rp)
+
+
+@pytest.mark.parametrize("det", ["pointzeroone", "trialmode"])
+def test_spectral_whole_fdet_vs_spectral_fdet(det):
+    """Same save/revert protocol as the XLA spectral-fdet route."""
+    extra = {"convergence": det, "max-iterations": "20"}
+    rs = make_engine(200, "spectral", dict(extra)).run()
+    eng = make_engine(200, "spectral-whole", dict(extra))
+    assert eng.use_spectral_whole
+    rp = eng.run()
+    np.testing.assert_array_equal(rs.iterations, rp.iterations)
+    assert_match(rs, rp)
+
+
+def test_spectral_whole_streamed_windows():
+    """Composes with in-program chunk streaming bit-identically."""
+    extra = {"voxel-chunk-size": "64"}
+    eng_s = make_engine(200, "spectral-whole", dict(extra))
+    assert eng_s.use_spectral_whole
+    rs = eng_s.run()
+    rh = make_engine(200, "spectral-whole",
+                     {**extra, "chunk-streaming": "off"}).run()
+    np.testing.assert_array_equal(rs.means, rh.means)

@@ -68,7 +68,8 @@ def build_engine(config, nv):
 
     f32 = jnp.float32
 
-    if config in ("poly", "poly-lm", "poly-p001", "poly-pattern"):
+    if config in ("poly", "poly-24m", "poly-lm", "poly-p001",
+                  "poly-pattern"):
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
         if config == "poly-lm":
             # the LM robustness detector's first fast tier (in-kernel
@@ -103,9 +104,13 @@ def build_engine(config, nv):
             amp = jax.random.uniform(k1, (1, m), f32, 0.5, 1.5)
             return (amp * e1 + 0.5 * amp * e5
                     + 0.05 * jax.random.normal(k2, (nt, m), f32))
-    elif config == "ar1":
+    elif config in ("ar1", "ar2"):
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "ar",
                          "num-echoes": "1"}
+        if config == "ar2":
+            # 2-echo interleaved AR(1) (noisemodel_ar.cc:83-224): the
+            # XLA stats route — no fast tier yet (docs/PARITY.md)
+            opts["num-echoes"] = "2"
         t = jnp.arange(1, nt + 1, dtype=f32)[:, None]
 
         def slab_fn(k, m):
@@ -225,6 +230,8 @@ def build_engine(config, nv):
 
 
 NT_LABELS = {"poly": "T=106, P=3",
+             "poly-24m": "T=106, P=3, 24M voxels (streaming scale)",
+             "ar2": "T=106, P=3 + 2-echo AR(1)",
              "poly-lm": "T=106, P=3, lm detector",
              "poly-pattern": "T=106, P=3, noise-pattern=12",
              "poly-p001": "T=106, P=3, pointzeroone", "biexp": "T=100, P=4",
@@ -246,9 +253,10 @@ NT_LABELS = {"poly": "T=106, P=3",
 # The kernel-bound configs (biexp/ar1) run the plain budget. The
 # stderr line and the utilization fields state each config's actual
 # voxel count; docs quote these same numbers.
-CONFIG_SCALE = {"poly": 4.0, "poly-lm": 1.0, "poly-p001": 1.0,
-                "poly-pattern": 1.0, "biexp": 1.0, "biexp-fdet": 1.0,
-                "ar1": 1.0, "spatial": 2.0, "linear": 2.0,
+CONFIG_SCALE = {"poly": 4.0, "poly-24m": 6.0, "poly-lm": 1.0,
+                "poly-p001": 1.0, "poly-pattern": 1.0, "biexp": 1.0,
+                "biexp-fdet": 1.0, "biexp-generic": 0.25,
+                "ar1": 1.0, "ar2": 1.0, "spatial": 2.0, "linear": 2.0,
                 "nlls": 1.0, "nlls-lm": 1.0, "spatial-p4": 1.0,
                 # NLLS-init runs the generic-Jacobian optimizer to
                 # per-lane convergence (~100x a VB iteration's work):
@@ -347,9 +355,10 @@ def main():
         # BASELINE.json config family as extra fields so regressions in
         # biexp/ar1/spatial are visible per round
         per = {}
-        for cfg in ("poly", "linear", "biexp", "biexp-fdet",
-                    "biexp-nllsinit", "ar1", "nlls", "spatial",
-                    "spatial-p4"):
+        for cfg in ("poly", "poly-24m", "linear", "biexp", "biexp-fdet",
+                    "biexp-nllsinit", "biexp-generic", "ar1", "ar2",
+                    "nlls", "nlls-lm", "spatial", "spatial-p4",
+                    "poly-lm", "poly-pattern"):
             try:
                 per[cfg] = _run_config(cfg, max(1024, int(
                     nv * CONFIG_SCALE[cfg])), quiet=True)
@@ -374,11 +383,15 @@ def main():
     _run_config(config, nv)
 
 
-# configs whose device-time probe runs by default ("all" mode): the
-# headline tiers. Each probe costs two extra remote compiles (the k=1
-# and k=3 scan variants), so the long tail of configs skips it unless
+# configs whose device-time probe runs by default ("all" mode): every
+# BASELINE.json family, so each driver artifact carries device_time_s
+# and a bound classification (HBM vs VPU vs MXU roof) for the VPU-heavy
+# nonlinear tiers too. Each probe costs two extra remote compiles (the
+# k=1 and k=3 scan variants); the opt-in tier configs (poly-lm,
+# poly-pattern, biexp-generic, nlls-lm, ar2, poly-24m) skip it unless
 # FABBER_BENCH_DEVTIME_ALL=1.
-DEVTIME_CONFIGS = ("poly", "spatial")
+DEVTIME_CONFIGS = ("poly", "linear", "biexp", "biexp-fdet", "ar1",
+                   "nlls", "spatial", "spatial-p4", "biexp-nllsinit")
 
 
 def _probe_ok(config):
@@ -398,19 +411,43 @@ def _run_config(config, nv, quiet=False):
         # NLLS: per-lane damped-GN loops run to their own convergence
         # (lam > 1e10); the fixed-design stats tier keeps every
         # iteration on P-dim planes. One compiled dispatch.
+        import jax.numpy as jnp
         bind = eng._bind()
 
-        @jax.jit
-        def solve(b):
+        def solve_fn(b):
             s, prec, cov = eng._solve_body(
                 eng._initial_means_traced(b.data), b)
             return s.params
 
+        solve = jax.jit(solve_fn)
+
         def run_once():
             jax.block_until_ready(solve(bind))
 
+        # device-time chain: k solves inside one program, the carry
+        # perturbing the data plane (the +c elementwise add costs ~2
+        # extra data passes per rep, so the slope overstates device
+        # time by that fixed amount — small vs the GN loop's cost)
+        chains = {}
+
+        def dispatch_k(k):
+            if k not in chains:
+                # bind rides as an ARGUMENT (closure-captured device
+                # arrays become HLO constants -> remote-compile 413s
+                # at volume scale)
+                def run_k(b):
+                    def body(c, _):
+                        out = solve_fn(b._replace(data=b.data + c))
+                        return c + 0.0 * out[0, 0], None
+                    return jax.lax.scan(body, jnp.float32(0.0), None,
+                                        length=k)[0]
+                chains[k] = jax.jit(run_k)
+            return chains[k](bind)
+
         return _measure(run_once, nv, eng.max_its, config,
-                        NT_LABELS[config], quiet, eng=eng)
+                        NT_LABELS[config], quiet, eng=eng,
+                        dispatch_k=dispatch_k if _probe_ok(config)
+                        else None)
 
     if config == "biexp-nllsinit":
         # two-stage pipeline in ONE device program: generic-Jacobian
@@ -422,8 +459,7 @@ def _run_config(config, nv, quiet=False):
         vb_eng._ensure_noise_prior()
         vb_loop = vb_eng.compiled_loop()
 
-        @jax.jit
-        def pipeline(bn, bv):
+        def pipeline_fn(bn, bv):
             s, prec, cov = nlls_eng._solve_body(
                 nlls_eng._initial_means_traced(bn.data), bn)
             means_vm = s.params.T               # [V,P] voxel-major
@@ -433,11 +469,32 @@ def _run_config(config, nv, quiet=False):
             out, _ = vb_loop(s0, bv)
             return out.post.means
 
+        pipeline = jax.jit(pipeline_fn)
+
         def run_once():
             jax.block_until_ready(pipeline(bind_n, bind_v))
 
+        chains = {}
+
+        def dispatch_k(k):
+            # k pipelines inside one program, carry-perturbed data
+            # (binds ride as arguments; see the nlls chain note)
+            if k not in chains:
+                def run_k(bn, bv):
+                    def body(c, _):
+                        out = pipeline_fn(
+                            bn._replace(data=bn.data + c),
+                            bv._replace(data=bv.data + c))
+                        return c + 0.0 * out[0, 0], None
+                    return jax.lax.scan(body, jnp.float32(0.0), None,
+                                        length=k)[0]
+                chains[k] = jax.jit(run_k)
+            return chains[k](bind_n, bind_v)
+
         return _measure(run_once, nv, iters, config, NT_LABELS[config],
-                        quiet, eng=vb_eng)
+                        quiet, eng=vb_eng,
+                        dispatch_k=dispatch_k if _probe_ok(config)
+                        else None)
 
     if config in ("spatial", "spatial-p4"):
         import jax.numpy as jnp

@@ -526,13 +526,17 @@ class VBInference:
         # flagship route's speed-of-light form (ONE data read, ~25 VPU
         # flops per voxel-iteration, posterior written straight from
         # VMEM). Same gates as the spectral routes; maxits runs the
-        # static fixed point, pointzeroone / trialmode run their lane
-        # state machines in-kernel on the scalar (generating phi,
-        # noise b) save/revert pair. Preferred over every other route
+        # static fixed point, pointzeroone / trialmode / freduce run
+        # their lane state machines in-kernel on the scalar
+        # (generating phi) save/revert pair (freduce's engine-initial
+        # revert target rides the is_init tag — the one detector the
+        # plain whole kernel cannot serve). Preferred over every other
+        # route
         # where it applies (auto, on TPU); engine-kernel=spectral-whole
         # forces it (interpreted off-TPU, for tests).
         sw_det = det_name0 \
-            if det_name0 in ("pointzeroone", "trialmode") else None
+            if det_name0 in ("pointzeroone", "trialmode", "freduce") \
+            else None
         sw_core = (
             loop_gates_common and spectral_ok
             and self.design is not None
@@ -1585,6 +1589,19 @@ class VBInference:
                 # fkqk/ftr carry the in-kernel per-lane F (recomputed
                 # at the selected state) and iteration counts
                 f = fkqk[0] if self.need_f else s.f
+                if fdet == "freduce" and self.need_f:
+                    # freduce reverts lanes to the ENGINE-initial
+                    # posterior whose F the eigenbasis collapse cannot
+                    # express (off-manifold). Recompute F for all
+                    # lanes the XLA routes' way (free_energy_stats on
+                    # the final selected state) — one extra stats
+                    # pass, freduce-only, keeping the routes
+                    # bit-comparable on reverted lanes too.
+                    stats = self.noise.make_design_stats(bind.design,
+                                                         bind.data)
+                    f = self.noise.free_energy_stats(
+                        noise_post, self.noise_prior, means, prec, cov,
+                        prior_means, prior_prec, stats)
                 conv = s.conv._replace(
                     its=ftr[0].astype(jnp.int32), prev_f=fkqk[0],
                     done=jnp.ones(nv, bool))

@@ -96,6 +96,32 @@ def _mask_detector_step(detector, dtype):
 
         return step
 
+    if name == "freduce":
+        # converge (and revert) on any F reduction; save is never
+        # touched (init True), so the best copy is always the previous
+        # iteration's state — the revert target. Lanes reverting at
+        # iteration 1 select the engine-initial posterior, which only
+        # the spectral-whole kernel's is_init protocol can restore
+        # (ops/fused_spectral.py); the plain whole kernel keeps
+        # excluding freduce.
+        tol = dtype(float(detector.min_fchange))
+        mx = dtype(float(detector.max_its))
+
+        def step(cv, f):
+            its, prev, save, rev, done, trials, tm, lmon, alpha = cv
+            diff = f - prev
+            reduced = m(diff < 0)
+            fsmall = m(jnp.abs(diff) < tol)
+            red_or_small = jnp.maximum(reduced, fsmall)
+            its2 = its + (1.0 - red_or_small)
+            done2 = jnp.maximum(red_or_small, m(its2 >= mx))
+            rev2 = jnp.maximum(reduced, rev)
+            prev2 = sel(reduced, prev, f)
+            return (its2, prev2, save, rev2, done2, trials, tm, lmon,
+                    alpha)
+
+        return step
+
     if name == "trialmode":
         tol = dtype(float(detector.min_fchange))
         mx = dtype(float(detector.max_its))

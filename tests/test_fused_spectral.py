@@ -72,7 +72,7 @@ def test_spectral_whole_nonpadded_time():
     assert_match(rx, eng.run())
 
 
-@pytest.mark.parametrize("det", ["pointzeroone", "trialmode"])
+@pytest.mark.parametrize("det", ["pointzeroone", "trialmode", "freduce"])
 def test_spectral_whole_fdet(det):
     """In-kernel detector state machines: iteration counts match the
     XLA route's batched machines exactly; the posterior matches at
@@ -87,7 +87,7 @@ def test_spectral_whole_fdet(det):
     assert_match(rx, rp)
 
 
-@pytest.mark.parametrize("det", ["pointzeroone", "trialmode"])
+@pytest.mark.parametrize("det", ["pointzeroone", "trialmode", "freduce"])
 def test_spectral_whole_fdet_vs_spectral_fdet(det):
     """Same save/revert protocol as the XLA spectral-fdet route."""
     extra = {"convergence": det, "max-iterations": "20"}

@@ -72,7 +72,30 @@ FAIL_PRECISION = 1e-12
 # improvements (lambda shrinking each time), so it never reaches the
 # lambda ceiling and runs every one of the max iterations — measured
 # ~10x the useful work on the linear benchmark.
-CFTOL = 1e-8
+# The value is scaled to the f32 cost arithmetic this engine runs: a
+# double-precision-era 1e-8 sits BELOW f32 eps (1.2e-7), so near the
+# optimum no accepted step can ever clear it — lanes then "converge"
+# by climbing the whole lambda ladder to the 1e10 ceiling (~13
+# rejected trials each; measured 43 -> 26 mean iterations on the
+# biexp benchmark with identical final cost to 6 digits). The floor
+# for a MEANINGFUL tolerance is the f32 cost-sum noise, ~sqrt(T) * eps
+# * cost ~ 1e-6 * cost at T~100: a threshold at that level makes
+# accept/convergence decisions flip on summation order (routes then
+# disagree on iteration counts by whole lambda ladders). 1e-5 is one
+# decade above the noise floor — reproducible across routes, final
+# cost identical to ~5 digits.
+CFTOL = 1e-5
+# plateau convergence: a REJECTED trial whose cost sits within
+# CFTOL * |cost| of the current cost, attempted at lambda >=
+# PLATEAU_LAMBDA, converges the lane at its current params. Without
+# it every lane's terminal phase is a full lambda-ladder climb to the
+# 1e10 ceiling (~13 rejected trials each — for the linear fast tier
+# that ladder IS most of the iteration count, since step 1 lands on
+# the optimum). The lambda guard keeps an early small-overshoot
+# rejection (lambda still < 1) from stopping a lane at its initial
+# estimates; reaching lambda >= 1 from 1e-3 takes >= 3 consecutive
+# rejections, i.e. the step direction is already pinned down.
+PLATEAU_LAMBDA = 1.0
 
 
 class NLLSState(NamedTuple):
@@ -352,7 +375,11 @@ class NLLSInference:
         converged = better & (
             s.cost - trial_cost
             <= CFTOL * jnp.maximum(jnp.abs(trial_cost), 1e-30))
-        done = s.done | (lam > LAMBDA_MAX) | converged
+        plateau = (~better) & jnp.isfinite(trial_cost) \
+            & (s.lam >= PLATEAU_LAMBDA) \
+            & (trial_cost - s.cost
+               <= CFTOL * jnp.maximum(jnp.abs(s.cost), 1e-30))
+        done = s.done | (lam > LAMBDA_MAX) | converged | plateau
 
         keep = s.done
         return NLLSState(
@@ -487,7 +514,11 @@ class NLLSInference:
             converged = better & (
                 cost - tcost <= CFTOL * jnp.maximum(jnp.abs(tcost),
                                                     1e-30))
-            dnew = done | (lnew > LAMBDA_MAX) | converged
+            plateau = (~better) & jnp.isfinite(tcost) \
+                & (lam >= PLATEAU_LAMBDA) \
+                & (tcost - cost
+                   <= CFTOL * jnp.maximum(jnp.abs(cost), 1e-30))
+            dnew = done | (lnew > LAMBDA_MAX) | converged | plateau
             keep = done
             z = tuple(jnp.where(keep, z[i], znew[i]) for i in range(p))
             return (z, jnp.where(keep, cost, cnew),

@@ -45,7 +45,8 @@ LAMBDA_GROW = 10.0
 LAMBDA_SHRINK = 0.1
 LAMBDA_MAX = 1e10
 PREC_DIAG_FLOOR = 1e-6
-CFTOL = 1e-8
+CFTOL = 1e-5  # f32-scaled (inference/nlls.py's rationale; keep equal)
+PLATEAU_LAMBDA = 1.0  # rejected-plateau convergence guard (ditto)
 
 
 def n_nlls_rows(p, tp):
@@ -236,10 +237,16 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                 cost - tcost <= dtype(CFTOL)
                 * jnp.maximum(jnp.abs(tcost), dtype(1e-30)),
                 dtype(1.0), dtype(0.0))
+            plateau = (1.0 - better) * jnp.where(
+                jnp.isfinite(tcost) & (lam >= dtype(PLATEAU_LAMBDA))
+                & (tcost - cost <= dtype(CFTOL)
+                   * jnp.maximum(jnp.abs(cost), dtype(1e-30))),
+                dtype(1.0), dtype(0.0))
             newdone = jnp.maximum(
                 done, jnp.maximum(
                     jnp.where(newl > dtype(LAMBDA_MAX), dtype(1.0),
-                              dtype(0.0)), converged))
+                              dtype(0.0)),
+                    jnp.maximum(converged, plateau)))
             act = 1.0 - done  # lanes done BEFORE this step keep state
 
             def sel(n, o):

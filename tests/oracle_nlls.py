@@ -15,7 +15,8 @@ LAMBDA_GROW = 10.0
 LAMBDA_SHRINK = 0.1
 LAMBDA_MAX = 1e10
 PREC_DIAG_FLOOR = 1e-6
-CFTOL = 1e-8  # relative cost-gain convergence (engine's CFTOL)
+CFTOL = 1e-5  # relative cost-gain convergence (engine's CFTOL)
+PLATEAU_LAMBDA = 1.0  # rejected-plateau convergence guard (engine's)
 
 
 def exp_signal_and_jac(latent, t):
@@ -56,6 +57,12 @@ def nlls_voxel(y, t, latent0, max_its=100, marquardt=False):
             p, cost = trial, tcost
             lam *= LAMBDA_SHRINK
         else:
+            # rejected-plateau convergence (engine semantics): a
+            # no-better trial within tolerance at lambda >= 1 ends the
+            # lane without climbing the rest of the ladder
+            converged = (np.isfinite(tcost) and lam >= PLATEAU_LAMBDA
+                         and (tcost - cost) <= CFTOL * max(abs(cost),
+                                                           1e-30))
             lam *= LAMBDA_GROW
         done = lam > LAMBDA_MAX or converged
         its += 1

@@ -291,16 +291,19 @@ def _work_model(eng, config, nv, nt, iters):
     cholesky = 2 * p ** 3 // 3 + 4 * p * p  # unrolled chol+inverse
     theta = cholesky + 4 * p * p            # + rhs assembly / solve
     if config in ("nlls", "nlls-lm"):
-        # stats tier: one [T,V] pass, then ~16 P-dim LM steps (the
-        # linear fit's lam walks 1e-3 -> 1e10 in ~14 rejected trials)
-        its = 16
+        # stats tier: one [T,V] pass, then ~4 P-dim LM steps per lane
+        # (linear fits land in 1 accepted step; the rejected-plateau
+        # exit ends the lane ~3 trials later — inference/nlls.py CFTOL
+        # block)
+        its = 4
         flops = 4 * nt * p + its * (theta + 4 * p * p + 8 * p)
         bytes_ = nt * item + (p + p * p + 2) * item
         return flops, bytes_
     if config == "biexp-nllsinit":
-        # generic-Jacobian NLLS (~40 accepted+rejected steps, each a
-        # model+Jacobian evaluation over T) + 10 fused VB iterations
-        nlls_its = 40
+        # generic-Jacobian NLLS (~24 accepted+rejected steps per lane
+        # mean, each a model+Jacobian evaluation over T) + 10 fused VB
+        # iterations
+        nlls_its = 24
         flops = (nlls_its * ((6 * p + 6) * nt + theta)
                  + iters * ((3 * p + 6) * nt + theta + 6 * p))
         bytes_ = (nlls_its + iters) * nt * item + out_bytes * 2

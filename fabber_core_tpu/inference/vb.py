@@ -217,6 +217,12 @@ class VBInference:
                        "Fixed-design update arithmetic: stats (sufficient "
                        "statistics; the iteration loop never touches "
                        "[T,V] data) or direct", default="stats"),
+            OptionSpec("spectral-impl", OPT_STR,
+                       "Whole-program spectral kernel form: xstats (XLA "
+                       "statistics + folded core kernel; fastest "
+                       "measured), split (MXU stats kernel + core "
+                       "kernel), or fused (one kernel)",
+                       default="xstats"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -638,8 +644,15 @@ class VBInference:
         if getattr(self, "use_spectral_whole", False):
             det = f", in-kernel {self.spectral_whole_fdet} detector" \
                 if getattr(self, "spectral_whole_fdet", None) else ""
-            return ("whole-program spectral Pallas kernel (in-kernel "
-                    f"statistics + eigenbasis fixed point{det})")
+            impl = _os.environ.get("FABBER_SPECTRAL_IMPL",
+                                   self.options.get_string(
+                                       "spectral-impl", "xstats"))
+            stats = {"xstats": "XLA statistics",
+                     "split": "MXU stats kernel",
+                     "fused": "in-kernel statistics"}.get(
+                         impl, "in-kernel statistics")
+            return (f"whole-program spectral Pallas kernel ({stats} + "
+                    f"eigenbasis core kernel{det})")
         if getattr(self, "use_whole_kernel", False):
             det = f", in-kernel {self.whole_fdet} detector" \
                 if getattr(self, "whole_fdet", None) else ""
@@ -1525,11 +1538,45 @@ class VBInference:
             design_h, qm_h, self.nt, pp_h, 1.0 / b0, c_post,
             init_b, init_c, self.dtype, det_extra)
 
+        # kernel form (ops/fused_spectral.py module comment):
+        #   xstats — XLA make_design_stats (measured 0.68 ns/voxel on
+        #     v5e: XLA's matmul+fused-reduction stats are already near
+        #     the data-read floor) + the folded Pallas core kernel
+        #     (0.45 ns/voxel) — the measured-fastest form and default;
+        #   split — the MXU stats kernel replaces the XLA stats (one
+        #     strict data read, measured 1.8 ns/voxel — DMA-granular);
+        #   fused — the original one-kernel form (VPU statistics on
+        #     the folded layout; measured vector-issue-bound).
+        # All three are numerically interchangeable (the equivalence
+        # tests run each); FABBER_SPECTRAL_IMPL / --spectral-impl
+        # selects.
+        impl = _os.environ.get("FABBER_SPECTRAL_IMPL",
+                               self.options.get_string(
+                                   "spectral-impl", "xstats"))
+        from ..ops.fused_spectral import (make_spectral_core_kernel,
+                                          pick_core_block)
+        mxu_consts = None
+        if impl == "split":
+            from ..ops.fused_spectral import (make_spectral_stats_kernel,
+                                              pack_mxu_consts,
+                                              pack_solve_consts,
+                                              pick_stats_block)
+            dw8, dcol, q8, _kt = pack_mxu_consts(design_h, qm_h, self.nt,
+                                                 self.dtype)
+            aconsts = pack_solve_consts(design_h, qm_h, self.nt,
+                                        self.dtype)
+            mxu_consts = (dw8, dcol, q8, aconsts)
+        design_dev = jnp.asarray(self.design, self.dtype)
+
         def run_local(data, tcs, scs, prior_means):
             """Kernel dispatch on one device's voxel planes."""
             nv = data.shape[-1]
-            block, pad = pick_spectral_block(nv, p, self.nt,
-                                             det=fdet is not None)
+            if impl in ("split", "xstats"):
+                cblock, pad = pick_core_block(nv, p,
+                                              det=fdet is not None)
+            else:
+                cblock, pad = pick_spectral_block(nv, p, self.nt,
+                                                  det=fdet is not None)
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -1537,13 +1584,36 @@ class VBInference:
                     return jnp.pad(x, width, mode="edge")
                 return x
 
-            fused = make_fused_spectral_loop(
-                p, n_iters, self.nt, nv + pad, self.dtype, block=block,
-                interpret=self.sw_interpret,
-                detector=self.detector if fdet else None,
-                det_consts=det_consts)
-            dataf = fused.fold_data(pad_v(data).astype(self.dtype))
-            outs = fused(dataf, tcs, scs, pad_v(prior_means))
+            if impl in ("split", "xstats"):
+                core_k = make_spectral_core_kernel(
+                    p, n_iters, nv + pad, self.dtype, block=cblock,
+                    interpret=self.sw_interpret,
+                    detector=self.detector if fdet else None,
+                    det_consts=det_consts)
+                if impl == "split":
+                    sblock, _ = pick_stats_block(nv + pad, self.nt)
+                    stats_k = make_spectral_stats_kernel(
+                        p, self.nt, nv + pad, self.dtype, block=sblock,
+                        interpret=self.sw_interpret)
+                    dw8, dcol, q8, aconsts = mxu_consts
+                    m0, rtqr, dtqr = stats_k(
+                        pad_v(data).astype(self.dtype),
+                        dw8, dcol, q8, aconsts)
+                else:
+                    st = self.noise.make_design_stats(
+                        design_dev, pad_v(data).astype(self.dtype))
+                    m0 = st.m0.astype(self.dtype)
+                    rtqr = st.rtqr[0][None, :].astype(self.dtype)
+                    dtqr = st.dtqr[0].astype(self.dtype)
+                outs = core_k(m0, rtqr, dtqr, pad_v(prior_means), scs)
+            else:
+                fused = make_fused_spectral_loop(
+                    p, n_iters, self.nt, nv + pad, self.dtype,
+                    block=cblock, interpret=self.sw_interpret,
+                    detector=self.detector if fdet else None,
+                    det_consts=det_consts)
+                dataf = fused.fold_data(pad_v(data).astype(self.dtype))
+                outs = fused(dataf, tcs, scs, pad_v(prior_means))
             if pad:
                 outs = tuple(o[..., :nv] for o in outs)
             return outs

@@ -11,11 +11,25 @@ tests/test_fused_whole.py.
 import numpy as np
 import pytest
 
-from test_fused_loop import make_engine, assert_match
+from test_fused_loop import make_engine as _make_engine, assert_match
+import os
+import pytest
+
+
+@pytest.fixture(params=["xstats", "split", "fused"])
+def impl(request, monkeypatch):
+    """Both kernel forms (MXU-stats split and one-kernel fused) run
+    every equivalence case."""
+    monkeypatch.setenv("FABBER_SPECTRAL_IMPL", request.param)
+    return request.param
+
+
+def make_engine(*a, **k):
+    return _make_engine(*a, **k)
 
 
 @pytest.mark.parametrize("nv", [256, 200])  # 200 exercises edge padding
-def test_spectral_whole_matches_xla_stats(nv):
+def test_spectral_whole_matches_xla_stats(nv, impl):
     rx = make_engine(nv, "xla").run()
     eng = make_engine(nv, "spectral-whole")
     assert eng.use_spectral_whole and eng.sw_interpret
@@ -23,7 +37,7 @@ def test_spectral_whole_matches_xla_stats(nv):
     assert_match(rx, eng.run())
 
 
-def test_spectral_whole_matches_xla_spectral():
+def test_spectral_whole_matches_xla_spectral(impl):
     """Bit-comparable fixed point vs the XLA eigenbasis route (same
     algebra; only the statistics' summation order differs)."""
     rs = make_engine(256, "spectral").run()
@@ -38,7 +52,7 @@ def test_spectral_whole_matches_xla_spectral():
     {"degree": "0"},  # P=1
     {"mt1": "3", "mt2": "17"},  # masked timepoints
 ], ids=["short", "single-iter", "p1", "masked"])
-def test_spectral_whole_extended_cases(extra):
+def test_spectral_whole_extended_cases(extra, impl):
     degree = int(extra.pop("degree", 2))
     rx = make_engine(128, "xla", dict(extra), degree=degree).run()
     eng = make_engine(128, "spectral-whole", dict(extra), degree=degree)
@@ -46,7 +60,7 @@ def test_spectral_whole_extended_cases(extra):
     assert_match(rx, eng.run())
 
 
-def test_spectral_whole_image_prior():
+def test_spectral_whole_image_prior(impl):
     """Voxelwise prior means thread through bind.prior_base_means."""
     nv = 128
     img = np.linspace(-0.5, 0.5, nv).astype(np.float32)
@@ -63,7 +77,7 @@ def test_spectral_whole_image_prior():
     assert_match(rx, eng.run())
 
 
-def test_spectral_whole_nonpadded_time():
+def test_spectral_whole_nonpadded_time(impl):
     """No time padding anywhere: any T works (the fold is a free
     contiguous reshape)."""
     rx = make_engine(128, "xla", nt=29).run()
@@ -73,7 +87,7 @@ def test_spectral_whole_nonpadded_time():
 
 
 @pytest.mark.parametrize("det", ["pointzeroone", "trialmode", "freduce"])
-def test_spectral_whole_fdet(det):
+def test_spectral_whole_fdet(det, impl):
     """In-kernel detector state machines: iteration counts match the
     XLA route's batched machines exactly; the posterior matches at
     stats tolerance."""
@@ -88,7 +102,7 @@ def test_spectral_whole_fdet(det):
 
 
 @pytest.mark.parametrize("det", ["pointzeroone", "trialmode", "freduce"])
-def test_spectral_whole_fdet_vs_spectral_fdet(det):
+def test_spectral_whole_fdet_vs_spectral_fdet(det, impl):
     """Same save/revert protocol as the XLA spectral-fdet route."""
     extra = {"convergence": det, "max-iterations": "20"}
     rs = make_engine(200, "spectral", dict(extra)).run()
@@ -99,12 +113,21 @@ def test_spectral_whole_fdet_vs_spectral_fdet(det):
     assert_match(rs, rp)
 
 
-def test_spectral_whole_streamed_windows():
-    """Composes with in-program chunk streaming bit-identically."""
+def test_spectral_whole_streamed_windows(impl):
+    """Composes with in-program chunk streaming. The kernel-statistics
+    forms (split/fused) are BIT-identical across streaming modes
+    (Mosaic codegen is context-independent per block); xstats computes
+    its statistics with XLA matmuls whose tiling can differ between
+    the scanned and standalone programs, so agreement there is
+    f32-roundoff-level (posterior-sd scale)."""
     extra = {"voxel-chunk-size": "64"}
     eng_s = make_engine(200, "spectral-whole", dict(extra))
     assert eng_s.use_spectral_whole
     rs = eng_s.run()
     rh = make_engine(200, "spectral-whole",
                      {**extra, "chunk-streaming": "off"}).run()
-    np.testing.assert_array_equal(rs.means, rh.means)
+    if impl == "xstats":
+        sd = np.sqrt(np.diagonal(rh.cov, axis1=1, axis2=2))
+        assert np.max(np.abs(rs.means - rh.means) / sd) < 1e-3
+    else:
+        np.testing.assert_array_equal(rs.means, rh.means)

@@ -71,6 +71,11 @@ def build_engine(config, nv):
     if config in ("poly", "poly-24m", "poly-lm", "poly-p001",
                   "poly-pattern"):
         nt, opts = 106, {"model": "poly", "degree": "2", "noise": "white"}
+        if config == "poly-24m":
+            # past the 12GB single-dispatch envelope (data+outputs
+            # ~13GB at 24M): give the streaming path the chip's real
+            # headroom so windows stay large
+            os.environ["FABBER_TPU_MEM_GB"] = "14"
         if config == "poly-lm":
             # the LM robustness detector's first fast tier (in-kernel
             # state machine + per-lane damped update on the
@@ -609,15 +614,23 @@ def _run_config(config, nv, quiet=False):
         print(f"# chunked into {len(windows)} x {chunk} voxels",
               file=sys.stderr)
 
-    # bindings hoisted out of the timed path: _bind's eager slice/pad
-    # ops are per-dispatch host round trips on the remote-TPU tunnel
-    binds = [eng._bind(lo, hi) for lo, hi in windows]
+    # bindings hoisted out of the timed path when there is ONE window
+    # (_bind's eager slice/pad ops are per-dispatch host round trips
+    # on the remote-TPU tunnel); with several windows the hoisted
+    # copies would hold every window's data slice live at once —
+    # measured OOM at 24M voxels — so they build per dispatch there
+    if len(windows) == 1:
+        binds = [eng._bind(lo, hi) for lo, hi in windows]
 
-    def run_once():
-        final = None
-        for bind in binds:
-            final, _ = full(bind)
-        jax.block_until_ready(final.post.means)
+        def run_once():
+            final, _ = full(binds[0])
+            jax.block_until_ready(final.post.means)
+    else:
+        def run_once():
+            final = None
+            for lo, hi in windows:
+                final, _ = full(eng._bind(lo, hi))
+            jax.block_until_ready(final.post.means)
 
     dispatch_k = make_dispatch_k(chunk)[0] \
         if can_stream and len(windows) == 1 and _probe_ok(config) \

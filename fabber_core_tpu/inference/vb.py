@@ -37,6 +37,12 @@ from .convergence import ConvState, get_detector_class
 from .linearize import Linearizer
 from .priors import PriorSetup
 
+# voxel window for the spectral-whole route's in-program stats scan
+# (xla_stats_windowed): bounds the [T,window] residual/operand
+# temporaries to ~2GB at T~100 so the WHOLE volume runs as one
+# dispatch (the route's _chunk_size accounts for this slack)
+_SPECTRAL_STATS_WINDOW = 1 << 21
+
 
 class RunBindings(NamedTuple):
     """Per-run device arrays threaded through every jitted function as
@@ -218,11 +224,11 @@ class VBInference:
                        "statistics; the iteration loop never touches "
                        "[T,V] data) or direct", default="stats"),
             OptionSpec("spectral-impl", OPT_STR,
-                       "Whole-program spectral kernel form: xstats (XLA "
-                       "statistics + folded core kernel; fastest "
-                       "measured), split (MXU stats kernel + core "
-                       "kernel), or fused (one kernel)",
-                       default="xstats"),
+                       "Whole-program spectral kernel form: split (MXU "
+                       "stats kernel + core kernel; one strict data "
+                       "read, scale-invariant — default), xstats (XLA "
+                       "statistics + core kernel), or fused (one "
+                       "kernel)", default="split"),
         ]
 
     def __init__(self, model, options, data, coords, suppdata=None,
@@ -646,7 +652,7 @@ class VBInference:
                 if getattr(self, "spectral_whole_fdet", None) else ""
             impl = _os.environ.get("FABBER_SPECTRAL_IMPL",
                                    self.options.get_string(
-                                       "spectral-impl", "xstats"))
+                                       "spectral-impl", "split"))
             stats = {"xstats": "XLA statistics",
                      "split": "MXU stats kernel",
                      "fused": "in-kernel statistics"}.get(
@@ -1522,7 +1528,6 @@ class VBInference:
         qm_h = np.asarray(self.noise.qmasks, np.float64)[0]
         pp_h = np.asarray(self.prior_setup.base_precs, np.float64)
         det_consts = None
-        det_extra = None
         if fdet:
             # static cap = the engine's while-loop bound; lanes freeze
             # in place once their state machine says done
@@ -1530,21 +1535,27 @@ class VBInference:
             conv1 = self.detector.init_state(1, self.dtype)
             det_consts = {"sentinel": float(np.asarray(conv1.prev_f)[0]),
                           "init_save": bool(np.asarray(conv1.save)[0])}
-            det_extra = (eigen_elbo_const(qm_h, c_post, c0, b0, p),
-                         c_post + 0.5)
+        # the eigenbasis-ELBO constant pair rides in BOTH modes: the
+        # kernel emits the per-lane F itself, so the engine's F
+        # assembly never re-reads the posterior planes
+        elbo_extra = (eigen_elbo_const(qm_h, c_post, c0, b0, p),
+                      c_post + 0.5)
         tconsts = pack_spectral_time_consts(design_h, qm_h, self.nt,
                                             self.dtype)
         sconsts = pack_spectral_consts(
             design_h, qm_h, self.nt, pp_h, 1.0 / b0, c_post,
-            init_b, init_c, self.dtype, det_extra)
+            init_b, init_c, self.dtype, elbo_extra)
 
         # kernel form (ops/fused_spectral.py module comment):
-        #   xstats — XLA make_design_stats (measured 0.68 ns/voxel on
-        #     v5e: XLA's matmul+fused-reduction stats are already near
-        #     the data-read floor) + the folded Pallas core kernel
-        #     (0.45 ns/voxel) — the measured-fastest form and default;
-        #   split — the MXU stats kernel replaces the XLA stats (one
-        #     strict data read, measured 1.8 ns/voxel — DMA-granular);
+        #   split — MXU stats kernel (one strict data read) + the
+        #     folded core kernel: scale-invariant 2.2 ns/voxel on
+        #     v5e (16M voxels: device 35ms, 29% of HBM peak) — the
+        #     default;
+        #   xstats — XLA make_design_stats + core kernel: fastest at
+        #     small volumes (0.68 + 0.45 ns/voxel standalone) but
+        #     context-fragile — inside the windowed scan a 16M run
+        #     measured 5.5 ns/voxel (XLA refuses the standalone
+        #     fusion shapes there);
         #   fused — the original one-kernel form (VPU statistics on
         #     the folded layout; measured vector-issue-bound).
         # All three are numerically interchangeable (the equivalence
@@ -1552,7 +1563,7 @@ class VBInference:
         # selects.
         impl = _os.environ.get("FABBER_SPECTRAL_IMPL",
                                self.options.get_string(
-                                   "spectral-impl", "xstats"))
+                                   "spectral-impl", "split"))
         from ..ops.fused_spectral import (make_spectral_core_kernel,
                                           pick_core_block)
         mxu_consts = None
@@ -1567,6 +1578,53 @@ class VBInference:
                                         self.dtype)
             mxu_consts = (dw8, dcol, q8, aconsts)
         design_dev = jnp.asarray(self.design, self.dtype)
+
+        def xla_stats_windowed(data):
+            """make_design_stats with its [T,window]-scale temporaries
+            (the r0 residual plane and the sliced matmul operand)
+            bounded by a fixed window: the stats pass runs as an
+            in-program scan over voxel windows writing into the tiny
+            [<=2P+1, V] stats buffers. This is what lets the WHOLE
+            route run a 16M+-voxel volume as ONE dispatch — streaming
+            the full engine program per window measured ~20ms/window
+            of pure orchestration overhead (r5 device probes), vs
+            window-sized temps here and one full-volume core kernel.
+            Window overlap (slid last window) rewrites bit-identical
+            values: every stat is a lane-local reduction and XLA's
+            matmul blocking is fixed per window SHAPE (all windows
+            share one shape; only window-vs-unwindowed programs may
+            differ at f32 roundoff)."""
+            nv_l = data.shape[-1]
+            sc = _SPECTRAL_STATS_WINDOW
+            st_dt = self.dtype
+
+            def one(d):
+                st = self.noise.make_design_stats(design_dev, d)
+                return (st.m0.astype(st_dt),
+                        st.rtqr[0][None, :].astype(st_dt),
+                        st.dtqr[0].astype(st_dt))
+
+            if nv_l <= sc:
+                return one(data)
+            nw = -(-nv_l // sc)
+            starts = np.arange(nw, dtype=np.int64) * sc
+            starts[-1] = nv_l - sc
+            bufs0 = (jnp.zeros((p, nv_l), st_dt),
+                     jnp.zeros((1, nv_l), st_dt),
+                     jnp.zeros((p, nv_l), st_dt))
+
+            def body(bufs, lo):
+                z = jnp.int32(0)
+                dw = jax.lax.dynamic_slice(data, (z, lo),
+                                           (self.nt, sc))
+                w = one(dw)
+                return tuple(
+                    jax.lax.dynamic_update_slice(full, win, (z, lo))
+                    for full, win in zip(bufs, w)), None
+
+            bufs, _ = jax.lax.scan(body, bufs0,
+                                   jnp.asarray(starts, jnp.int32))
+            return bufs
 
         def run_local(data, tcs, scs, prior_means):
             """Kernel dispatch on one device's voxel planes."""
@@ -1600,11 +1658,13 @@ class VBInference:
                         pad_v(data).astype(self.dtype),
                         dw8, dcol, q8, aconsts)
                 else:
-                    st = self.noise.make_design_stats(
-                        design_dev, pad_v(data).astype(self.dtype))
-                    m0 = st.m0.astype(self.dtype)
-                    rtqr = st.rtqr[0][None, :].astype(self.dtype)
-                    dtqr = st.dtqr[0].astype(self.dtype)
+                    # stats on the UNPADDED data (padding the [T,V]
+                    # plane would copy it — gigabytes at volume
+                    # scale); only the tiny stats planes are padded
+                    # for the core kernel's block grid
+                    m0, rtqr, dtqr = xla_stats_windowed(
+                        data.astype(self.dtype))
+                    m0, rtqr, dtqr = pad_v(m0), pad_v(rtqr), pad_v(dtqr)
                 outs = core_k(m0, rtqr, dtqr, pad_v(prior_means), scs)
             else:
                 fused = make_fused_spectral_loop(
@@ -1677,15 +1737,11 @@ class VBInference:
                     done=jnp.ones(nv, bool))
                 itn = self.max_iter_cap
             else:
-                if self.need_f:
-                    # fprior is zero for the (non-ARD, non-spatial)
-                    # priors this route admits; F from the in-kernel
-                    # final quadratics
-                    f = self.noise.free_energy_from_parts(
-                        noise_post, self.noise_prior, means, prec, cov,
-                        prior_means, prior_prec, [fkqk[0]], [ftr[0]])
-                else:
-                    f = s.f
+                # fprior is zero for the (non-ARD, non-spatial) priors
+                # this route admits; the kernel's eigenbasis ELBO IS
+                # the free energy (free_energy_from_parts at f32
+                # roundoff, pinned by the route-equivalence tests)
+                f = fkqk[0] if self.need_f else s.f
                 conv = s.conv._replace(
                     its=jnp.full(nv, n_iters, jnp.int32),
                     done=jnp.ones(nv, bool))
@@ -2200,8 +2256,19 @@ class VBInference:
             return explicit
         item = jnp.dtype(self.dtype).itemsize
         p, t = self.nparams, self.nt
-        if getattr(self, "use_whole_kernel", False) \
-                or getattr(self, "use_spectral_whole", False):
+        if getattr(self, "use_spectral_whole", False):
+            # the in-program stats scan bounds the [T,window]
+            # temporaries to a fixed slack; volume-scale residents are
+            # the data plane (t), the stats buffers (2P+1, double-
+            # buffered in the scan carry), the posterior outputs
+            # (2P^2+P+4) and the prior planes (2P)
+            per_vox = (t + 2 * p * p + 7 * p + 6) * item
+            budget = budget_bytes if budget_bytes is not None else \
+                float(_os.environ.get("FABBER_TPU_MEM_GB", 8)) * 1e9
+            slack = 2.2 * t * 4 * _SPECTRAL_STATS_WINDOW
+            return max(16384, int(max(budget * 0.2, budget - slack)
+                                  / per_vox))
+        if getattr(self, "use_whole_kernel", False):
             # in-kernel stats: the only [T,V]-scale allocations are the
             # data plane and its padded/folded copy; everything else is
             # tile-sized VMEM or the [P,P,V] outputs

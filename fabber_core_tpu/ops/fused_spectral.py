@@ -115,12 +115,12 @@ def pack_spectral_time_consts(design, qmask, nt, dtype):
 
 
 def pack_spectral_consts(design, qmask, nt, pp, inv_b0, c_post,
-                         init_b, init_c, dtype, det_extra=None):
+                         init_b, init_c, dtype, elbo_extra=(0.0, 0.0)):
     """[K*ROWS, 1] scalar constants: A (P*P, f32 — the kernel's OLS
     solve must see the same rounding as its stats), etw / etwi / ew
     (P*P each), lam (P), pp (P), then inv_b0 / c_post / b_init /
-    c_init. det_extra appends the detector-mode ELBO constants
-    (f_const, lb_coeff, sentinel, init_save)."""
+    c_init, then the eigenbasis-ELBO constant pair (f_const,
+    lb_coeff) — the in-kernel F output."""
     d = np.asarray(design, np.float64)[:nt]
     q = np.asarray(qmask, np.float64).reshape(-1)[:nt]
     a, lam, ew, winv = spectral_basis(d, q, pp)
@@ -131,19 +131,22 @@ def pack_spectral_consts(design, qmask, nt, pp, inv_b0, c_post,
         a.reshape(-1), etw.reshape(-1), etwi.reshape(-1), ew.reshape(-1),
         lam, np.asarray(pp, np.float64).reshape(-1),
         [float(inv_b0), float(c_post), float(init_b), float(init_c)],
-        [] if det_extra is None else list(det_extra)])
+        list(elbo_extra)])
     return jnp.asarray(np.repeat(flat, ROWS)[:, None], dtype)
 
 
 def _spectral_core(p, dtype, n_iters, detector, det_consts,
                    A, ETW, ETWI, EW, lam, pp, inv_b0, c_post,
                    b_init, c_init, f_const, lb_coeff,
-                   m0, rtqr, dtqr, pm, anchor):
+                   m0, rtqr, dtqr, pm, anchor, valid=None):
     """The eigenbasis rotation + fixed point + reconstruction on
     VMEM-resident planes — shared by the one-kernel (fused) and the
     split (stats kernel + core kernel) forms. All arguments after
     det_consts are in-kernel accessors / plane lists; returns a dict
-    of output planes (means/prec/cov lists, b, kqk/tr or f/its)."""
+    of output planes (means/prec/cov lists, b, kqk/tr or f/its).
+    valid: optional 0/1 plane marking real voxels under a ceil grid's
+    masked final block — garbage lanes count as done in the detector
+    mode's cross-lane early-exit reduction."""
     # ---- eigenbasis rows (ops/spectral.py, verbatim algebra) -------
     fdet = detector is not None
     dtqy = [dtqr[a] + sum(A(a, j) * m0[j] for j in range(p))
@@ -235,6 +238,13 @@ def _spectral_core(p, dtype, n_iters, detector, det_consts,
         def wcond(c):
             it = c[0]
             done_plane = c[6][4]
+            if valid is not None:
+                # masked-final-block garbage lanes may be NaN (the
+                # interpret mode pads with NaN; hardware is undefined)
+                # — a jnp.where, not mask arithmetic, keeps them out
+                # of the cross-lane reduction
+                done_plane = jnp.where(valid > 0.5, done_plane,
+                                       dtype(1.0))
             return (it < jnp.int32(n_iters)) \
                 & (jnp.min(done_plane) < 0.5)
 
@@ -295,18 +305,21 @@ def _spectral_core(p, dtype, n_iters, detector, det_consts,
             prec[(i, j)] = s_fin * A(i, j) + (pp[i] if i == j else 0.0)
     out = {"means": means, "prec": prec, "cov": cov, "b": b_fin,
            "kqk": kqk, "tr": tr, "c_post": c_post}
+    # per-lane F at the final/selected state (the eigenbasis ELBO
+    # collapse — same quantity as the engine's free_energy_from_parts
+    # at f32 roundoff): computed in-kernel in BOTH modes so the
+    # engine's F assembly never re-reads the posterior planes. In
+    # detector mode this is the recompute-at-selected-state semantics
+    # of the XLA spectral-fdet route; b_fin is bit-identical to the
+    # selected state's in-loop noise b (same arithmetic, same inputs).
+    _, _, _, logden, rdensum, mv2 = elbo_quadratics(s_fin)
+    f_sel = (f_const - 0.5 * logden
+             + lb_coeff * jnp.log(b_fin)
+             - b_fin * c_post * (inv_b0 + 0.5 * kqk)
+             - 0.5 * tr - 0.5 * mv2 - 0.5 * rdensum)
+    out["f"] = f_sel
     if fdet:
-        # per-lane F recomputed at the selected state (the same
-        # recompute-at-final-state semantics as the XLA
-        # spectral-fdet route's free_energy_stats call); b_fin is
-        # bit-identical to the selected state's in-loop noise b
-        # (same arithmetic, same inputs).
-        _, _, _, logden, rdensum, mv2 = elbo_quadratics(s_fin)
-        f_sel = (f_const - 0.5 * logden
-                 + lb_coeff * jnp.log(b_fin)
-                 - b_fin * c_post * (inv_b0 + 0.5 * kqk)
-                 - 0.5 * tr - 0.5 * mv2 - 0.5 * rdensum)
-        out.update({"f": f_sel, "its": its_lane, "sel_init": sel_init})
+        out.update({"its": its_lane, "sel_init": sel_init})
     return out
 
 
@@ -328,7 +341,7 @@ def _write_outputs(core, p, fdet, dtype, plane_shape, means_out,
     c_out[:] = core["c_post"] * ones
     if not fdet:
         b_out[:] = core["b"]
-        fkqk_out[:] = core["kqk"]
+        fkqk_out[:] = core["f"]
         ftr_out[:] = core["tr"]
     else:
         b_out[:] = (1.0 - 2.0 * core["sel_init"]) * core["b"]
@@ -408,9 +421,8 @@ def make_fused_spectral_loop(nparams, n_iters, nt, nvoxels, dtype,
         c_post = cst(base + 1)
         b_init = cst(base + 2)
         c_init = cst(base + 3)
-        if fdet:
-            f_const = cst(base + 4)
-            lb_coeff = cst(base + 5)
+        f_const = cst(base + 4)
+        lb_coeff = cst(base + 5)
 
         def tcol(base_t, length_t):
             return tc_ref[base_t * ROWS:(base_t + length_t) * ROWS, 0:1]
@@ -480,8 +492,7 @@ def make_fused_spectral_loop(nparams, n_iters, nt, nvoxels, dtype,
         core = _spectral_core(
             p, dtype, n_iters, detector, det_consts,
             A, ETW, ETWI, EW, lam, pp, inv_b0, c_post, b_init, c_init,
-            f_const if fdet else None, lb_coeff if fdet else None,
-            m0, rtqr, dtqr, pm, anchor)
+            f_const, lb_coeff, m0, rtqr, dtqr, pm, anchor)
         _write_outputs(core, p, fdet, dtype, (ROWS, b), means_out,
                        prec_out, cov_out, b_out, c_out, fkqk_out,
                        ftr_out)
@@ -490,8 +501,7 @@ def make_fused_spectral_loop(nparams, n_iters, nt, nvoxels, dtype,
     fold, unfold, vox_spec, fixed_spec, _, vcols = \
         make_voxel_layout(nvoxels, block)
     ntc = 2 * p * nt * ROWS + nt * ROWS
-    nsc = (4 * p * p + 2 * p + 4 + (2 if detector is not None else 0)) \
-        * ROWS
+    nsc = (4 * p * p + 2 * p + 6) * ROWS
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -581,17 +591,18 @@ def pack_solve_consts(design, qmask, nt, dtype):
 
 def pick_stats_block(nvoxels, nt):
     """Voxel tile for the stats kernel: ~5 live [nt, B] tiles (data,
-    zero-padded copy, r0, r0^2 product, double-buffering)."""
+    zero-padded copy, r0, r0^2 product, double-buffering). Always the
+    LARGEST fitting block — the kernels run a ceil grid with a masked
+    final block (every op is voxel-lane-local), so block size never
+    depends on divisibility. Measured: the core kernel at block 1024
+    (the old prefer-exact-division fallback at 16M voxels) ran 4x
+    slower than at 16384."""
     budget = max(VMEM_BUDGET, 12 << 20)
     fitting = [bb for bb in (8192, 4096, 2048, 1024, 512)
                if 5 * nt * bb * 4 * 2 <= budget]
     if not fitting:
         return None
-    for bb in fitting:
-        if nvoxels % bb == 0:
-            return bb, 0
-    bb = fitting[-1]
-    return bb, (-nvoxels) % bb
+    return fitting[0], 0
 
 
 def make_spectral_stats_kernel(nparams, nt, nvoxels, dtype, block=2048,
@@ -603,9 +614,6 @@ def make_spectral_stats_kernel(nparams, nt, nvoxels, dtype, block=2048,
     sublane tile, and the matmul constants carry zero weights beyond
     nt)."""
     p = nparams
-
-    if nvoxels % block != 0:
-        raise ValueError(f"block={block} must divide nvoxels={nvoxels}")
 
     def kernel(data_ref, dw8_ref, dcol_ref, q8_ref, ac_ref,
                m0_out, rtqr_out, dtqr_out):
@@ -673,7 +681,7 @@ def make_spectral_stats_kernel(nparams, nt, nvoxels, dtype, block=2048,
             dtqr_out[a:a + 1] = dtqr8[a:a + 1]
         rtqr_out[:] = rtqr8[0:1]
 
-    grid = (nvoxels // block,)
+    grid = (-(-nvoxels // block),)  # ceil: masked final block
     kt = ((nt + 127) // 128) * 128
 
     def vspec(rows):
@@ -701,18 +709,17 @@ def make_spectral_stats_kernel(nparams, nt, nvoxels, dtype, block=2048,
 
 
 def pick_core_block(nvoxels, p, det=False):
-    """Voxel tile for the core kernel: ~10P + 2P^2 live planes."""
+    """Voxel tile for the core kernel: ~10P + 2P^2 live planes.
+    Largest fitting block; ceil grid with a masked final block (see
+    pick_stats_block). The returned pad only rounds the voxel count
+    to the ROWS fold."""
     planes = 10 * p + 2 * p * p + 12 + ((9 + 4) if det else 0)
     budget = max(VMEM_BUDGET, 12 << 20)
     fitting = [bb for bb in (16384, 8192, 4096, 2048, 1024)
                if planes * bb * 4 * 2 <= budget]
     if not fitting:
         return None
-    for bb in fitting:
-        if nvoxels % bb == 0:
-            return bb, 0
-    bb = fitting[-1]
-    return bb, (-nvoxels) % bb
+    return fitting[0], (-nvoxels) % ROWS
 
 
 def make_spectral_core_kernel(nparams, n_iters, nvoxels, dtype,
@@ -725,10 +732,11 @@ def make_spectral_core_kernel(nparams, n_iters, nvoxels, dtype,
     p = nparams
     fdet = detector is not None
 
-    if block % ROWS != 0 or nvoxels % block != 0:
+    if block % ROWS != 0 or nvoxels % ROWS != 0:
         raise ValueError(
-            f"block={block} must be a multiple of ROWS={ROWS} and divide "
-            f"nvoxels={nvoxels} (caller pads)")
+            f"block={block} and nvoxels={nvoxels} must be multiples of "
+            f"ROWS={ROWS} (caller pads to the fold; the block grid is "
+            "ceil with a masked final block)")
 
     def plane(ref, i):
         return ref[i * ROWS:(i + 1) * ROWS]
@@ -760,26 +768,40 @@ def make_spectral_core_kernel(nparams, n_iters, nvoxels, dtype,
         c_post = cst(base + 1)
         b_init = cst(base + 2)
         c_init = cst(base + 3)
-        f_const = cst(base + 4) if fdet else None
-        lb_coeff = cst(base + 5) if fdet else None
+        f_const = cst(base + 4)
+        lb_coeff = cst(base + 5)
 
         m0 = [plane(m0_ref, i) for i in range(p)]
         rtqr = plane(rtqr_ref, 0)
         dtqr = [plane(dtqr_ref, i) for i in range(p)]
         pm = [plane(pm_ref, i) for i in range(p)]
         anchor = 0.0 * rtqr
+        # ceil grid: the final block's out-of-bounds lanes read VMEM
+        # garbage (writes are masked). All math is lane-local, but the
+        # detector mode's early-exit while reduces the done mask
+        # ACROSS lanes — feed it a validity mask so garbage lanes
+        # count as done (never the other way: valid lanes keep full
+        # control of the loop).
+        valid = None
+        if fdet:
+            i = pl.program_id(0)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (ROWS, b), 1) + i * jnp.int32(b)
+            valid = jnp.where(cols < jnp.int32(nvoxels // ROWS),
+                              dtype(1.0), dtype(0.0))
         core = _spectral_core(
             p, dtype, n_iters, detector, det_consts,
             A, ETW, ETWI, EW, lam, pp, inv_b0, c_post, b_init, c_init,
-            f_const, lb_coeff, m0, rtqr, dtqr, pm, anchor)
+            f_const, lb_coeff, m0, rtqr, dtqr, pm, anchor,
+            valid=valid)
         _write_outputs(core, p, fdet, dtype, (ROWS, b), means_out,
                        prec_out, cov_out, b_out, c_out, fkqk_out,
                        ftr_out)
 
-    grid = (nvoxels // block,)
-    fold, unfold, vox_spec, fixed_spec, _, vcols = \
+    fold, unfold, vox_spec, fixed_spec, bcols, vcols = \
         make_voxel_layout(nvoxels, block)
-    nsc = (4 * p * p + 2 * p + 4 + (2 if fdet else 0)) * ROWS
+    grid = (-(-vcols // bcols),)  # ceil: masked final block
+    nsc = (4 * p * p + 2 * p + 6) * ROWS
     call = pl.pallas_call(
         kernel,
         grid=grid,

@@ -131,3 +131,23 @@ def test_spectral_whole_streamed_windows(impl):
         assert np.max(np.abs(rs.means - rh.means) / sd) < 1e-3
     else:
         np.testing.assert_array_equal(rs.means, rh.means)
+
+
+def test_spectral_whole_windowed_stats(monkeypatch):
+    """The in-program stats scan (vb._SPECTRAL_STATS_WINDOW bounds the
+    [T,window] temporaries): agreement with the single-pass form is
+    f32-roundoff-level (XLA picks its matmul K-blocking per window
+    SHAPE, so same-shaped windows round identically — which is what
+    the slid-overlap rewrite relies on — while window-vs-full may
+    differ in the last bits)."""
+    import fabber_core_tpu.inference.vb as vbmod
+    eng1 = make_engine(200, "spectral-whole")
+    r1 = eng1.run()
+    monkeypatch.setattr(vbmod, "_SPECTRAL_STATS_WINDOW", 64)
+    eng2 = make_engine(200, "spectral-whole")
+    assert eng2.use_spectral_whole
+    r2 = eng2.run()
+    sd = np.sqrt(np.diagonal(r1.cov, axis1=1, axis2=2))
+    assert np.max(np.abs(r1.means - r2.means) / sd) < 1e-3
+    np.testing.assert_allclose(r1.noise_means, r2.noise_means,
+                               rtol=1e-4)

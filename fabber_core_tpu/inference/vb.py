@@ -424,8 +424,25 @@ class VBInference:
             # zero-trip kernel would emit an all-zero posterior instead
             # of the initial one; the XLA route handles maxits=0
             and int(self.detector.max_iterations) >= 1)
+        # AR(1) loop kernel under pointzeroone / freduce: the lane
+        # state machines run IN-KERNEL on the degenerate AR ELBO
+        # (ops/fused_loop_ar.py detector mode) — previously any
+        # F-based detector dropped AR configs to the XLA route
+        ar_det_name = type(self.detector).name
+        ar_fdet = ar_det_name \
+            if ar_det_name in ("pointzeroone", "freduce") else None
+        ar_fdet_ok = (
+            loop_gates_common and noise_name == "ar" and loop_noise_ok
+            and ar_fdet is not None
+            and int(self.detector.max_iterations) >= 1)
+        if ar_fdet_ok:
+            from ..ops.fused_loop import (pick_block as _pb,
+                                          n_ar_loop_planes as _nar)
+            ar_fdet_ok = _pb(1024, _nar(self.nparams, fdet=True)) \
+                is not None
+        self.ar_loop_fdet = ar_fdet if ar_fdet_ok else None
         loop_eligible = (
-            loop_core
+            (loop_core or ar_fdet_ok)
             and loop_noise_ok
             and kernel_mode in ("auto", "pallas-loop", "spectral"))
         if kernel_mode == "pallas-loop":
@@ -1309,11 +1326,37 @@ class VBInference:
         ap11 = float(self.noise_prior.alpha_prec[1, 1, 0])
         n_iters = int(self.detector.max_iterations)
         p = self.nparams
+        fdet = getattr(self, "ar_loop_fdet", None)
+        det_consts = None
+        if fdet:
+            import math as _math
+            from scipy.special import gammaln as _gln
+            n_iters = self.max_iter_cap
+            c0 = float(np.asarray(self.noise_prior.c).reshape(-1)[0])
+            b0 = float(np.asarray(self.noise_prior.b).reshape(-1)[0])
+            nt_e = float(self.noise.ntimes)
+            cp = (nt_e - 1.0) * 0.5 + c0
+            l2p = _math.log(2.0 * _math.pi)
+            # host-folded constant block of the degenerate AR(1) ELBO
+            # (noise/ar1.py _free_energy_tail; the digamma terms of
+            # -exp_phi and part0 cancel exactly since part0's
+            # coefficient is c_post - 1)
+            f_const = ((1.0 + 0.5 * p) * (l2p + 1.0)
+                       + float(_gln(cp)) + cp
+                       - l2p * ((nt_e - 1.0) + 1.0 + 0.5 * p)
+                       - 0.5
+                       - 2.0 * float(_gln(c0)) - 2.0 * c0 * _math.log(b0))
+            conv1 = self.detector.init_state(1, self.dtype)
+            det_consts = {
+                "f_const": f_const, "lb_coeff": cp,
+                "sentinel": float(np.asarray(conv1.prev_f)[0]),
+                "init_save": bool(np.asarray(conv1.save)[0])}
 
         def run_local(m0, rmr, dmr, consts, prior_means, prior_prec):
             from ..ops.fused_loop import pick_block, n_ar_loop_planes
             nv = m0.shape[-1]
-            block, pad = pick_block(nv, n_ar_loop_planes(p))
+            block, pad = pick_block(
+                nv, n_ar_loop_planes(p, fdet=fdet is not None))
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -1323,7 +1366,9 @@ class VBInference:
 
             fused = make_fused_ar_loop(
                 p, n_iters, nv + pad, self.dtype,
-                block=block, interpret=self.loop_interpret)
+                block=block, interpret=self.loop_interpret,
+                detector=self.detector if fdet else None,
+                det_consts=det_consts)
             outs = fused(pad_v(m0), pad_v(rmr), pad_v(dmr),
                          consts, pad_v(prior_means), pad_v(prior_prec))
             if pad:
@@ -1333,7 +1378,8 @@ class VBInference:
         dispatch = _shard_kernel(
             getattr(self, "mesh", None), run_local,
             in_vox_dims=(2, 2, 3, None, 2, 2),
-            out_vox_dims=(2, 3, 3, 2, 2, 2, 2, 2))
+            out_vox_dims=(2, 3, 3, 2, 2, 2, 2, 2)
+            + ((2, 2) if fdet else ()))
 
         @jax.jit
         def loop(s, bind):
@@ -1349,9 +1395,33 @@ class VBInference:
                 self.noise_prior.b, self.noise_prior.c,
                 self.noise.ntimes, init_b, init_c, init_acov00,
                 init_aprec00, self.dtype)
-            (means, prec, cov, amu0, acov00, aprec00, nb,
-             nc) = dispatch(stats.m0, stats.rmr, stats.dmr, consts,
+            outs = dispatch(stats.m0, stats.rmr, stats.dmr, consts,
                             prior_means, prior_prec)
+            (means, prec, cov, amu0, acov00, aprec00, nb, nc) = outs[:8]
+
+            if fdet:
+                # lanes whose freduce revert target is the (never-
+                # committed) engine-initial posterior ride a sign tag
+                # on b: restore them from s (spectral-whole protocol)
+                sel_init = nb[0] < 0
+                nb = jnp.abs(nb)
+                means = jnp.where(sel_init[None, :], s.post.means, means)
+                prec = jnp.where(sel_init[None, None, :],
+                                 s.post.prec, prec)
+                cov = jnp.where(sel_init[None, None, :], s.post.cov, cov)
+                nb = jnp.where(sel_init[None, :], s.post.noise.b, nb)
+                nc = jnp.where(sel_init[None, :], s.post.noise.c, nc)
+                amu0 = jnp.where(sel_init[None, :],
+                                 s.post.noise.alpha_means[:1], amu0)
+                acov00 = jnp.where(sel_init[None, :],
+                                   s.post.noise.alpha_cov[0, :1], acov00)
+                aprec00 = jnp.where(sel_init[None, :],
+                                    s.post.noise.alpha_prec[0, :1],
+                                    aprec00)
+                prior_means = jnp.where(sel_init[None, :],
+                                        s.post.prior_means, prior_means)
+                prior_prec = jnp.where(sel_init[None, :],
+                                       s.post.prior_prec, prior_prec)
 
             # reassemble the 2x2 alpha MVN: only alpha_1 is updated in
             # the no-cross-terms basis; alpha_2 keeps its prior
@@ -1369,14 +1439,23 @@ class VBInference:
             post = PosteriorState(means, prec, cov, prior_means,
                                   prior_prec, noise_post)
             if self.need_f:
+                # recomputed at the final (possibly restored) state —
+                # the XLA route's _finalize semantics; for non-reverted
+                # lanes this equals the in-kernel detector F at f32
+                # roundoff
                 f = self.noise.free_energy_stats(
                     noise_post, self.noise_prior, means, prec, cov,
                     prior_means, prior_prec, stats)
             else:
                 f = s.f
-            conv = s.conv._replace(
-                its=jnp.full(nv, n_iters, jnp.int32),
-                done=jnp.ones(nv, bool))
+            if fdet:
+                conv = s.conv._replace(
+                    its=outs[9][0].astype(jnp.int32),
+                    done=jnp.ones(nv, bool))
+            else:
+                conv = s.conv._replace(
+                    its=jnp.full(nv, n_iters, jnp.int32),
+                    done=jnp.ones(nv, bool))
             out = s._replace(it=jnp.array(n_iters, jnp.int32), post=post,
                              centre=means, f=f, conv=conv)
             return out, None

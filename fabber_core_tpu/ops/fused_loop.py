@@ -81,8 +81,10 @@ def n_white_loop_planes(p, nq):
     return ins + outs + carry + derived
 
 
-def n_ar_loop_planes(p):
-    """Live-plane estimate for make_fused_ar_loop (see pick_block)."""
+def n_ar_loop_planes(p, fdet=False):
+    """Live-plane estimate for make_fused_ar_loop (see pick_block).
+    fdet adds the in-kernel detector lanes plus the best-state copies
+    of the save/revert protocol."""
     ntri = p * (p + 1) // 2
     s = 3
     ins = 3 * p + s + s * p
@@ -90,7 +92,8 @@ def n_ar_loop_planes(p):
     carry = 5 + p + 2 * ntri
     # dmy (s*p planes) lives across the loop next to dmr (see above)
     derived = s * p
-    return ins + outs + carry + derived
+    det = (9 + 4 + (5 + p + 2 * ntri)) if fdet else 0
+    return ins + outs + carry + derived + det
 
 
 def make_voxel_layout(nvoxels, block):

@@ -95,3 +95,46 @@ def test_ar_loop_kernel_ineligible_falls_back(extra):
     assert not eng.use_loop_kernel
     res = eng.run()
     assert res.bad_voxels.sum() == 0
+
+
+@pytest.mark.parametrize("det", ["pointzeroone", "freduce"])
+def test_ar_loop_kernel_fdet(det):
+    """In-kernel detector state machines on the AR(1) loop kernel:
+    iteration counts match the XLA route's batched machines except on
+    lanes whose |dF| sits exactly at the 0.01 threshold (the kernel's
+    in-loop ELBO and the XLA F differ at f32 roundoff — a
+    near-threshold lane may flip one decision); posterior/F match at
+    stats tolerance (F is recomputed at the final state in both
+    routes)."""
+    extra = {"convergence": det, "max-iterations": "20"}
+    rx = make_engine(200, "xla", dict(extra)).run()
+    eng = make_engine(200, "pallas-loop", dict(extra))
+    assert eng.use_loop_kernel and eng.ar_loop_fdet == det
+    rp = eng.run()
+    diff = np.abs(rx.iterations - rp.iterations)
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.02, diff
+    # flipped lanes stopped at a different iteration's state (both
+    # valid under the detector's semantics): compare the rest tightly
+    same = rx.iterations == rp.iterations
+
+    def cut(r):
+        return r._replace(
+            means=r.means[same], cov=r.cov[same],
+            noise_means=r.noise_means[same], noise_cov=r.noise_cov[same],
+            free_energy=None if r.free_energy is None
+            else r.free_energy[same],
+            iterations=r.iterations[same], bad_voxels=r.bad_voxels[same])
+
+    assert_match(cut(rx), cut(rp))
+
+
+def test_ar_loop_kernel_fdet_short_cap():
+    """Cap smaller than natural convergence: lanes freeze at the cap
+    with identical counts."""
+    extra = {"convergence": "pointzeroone", "max-iterations": "3"}
+    rx = make_engine(128, "xla", dict(extra)).run()
+    eng = make_engine(128, "pallas-loop", dict(extra))
+    assert eng.ar_loop_fdet == "pointzeroone"
+    rp = eng.run()
+    np.testing.assert_array_equal(rx.iterations, rp.iterations)
+    assert_match(rx, rp)

@@ -696,8 +696,11 @@ class VBInference:
                 if self.nl_fdet else ""
             return f"whole-loop nonlinear Pallas kernel ({how}{det})"
         if getattr(self, "use_loop_kernel", False):
+            det = f", in-kernel {self.ar_loop_fdet} detector" \
+                if getattr(self, "ar_loop_fdet", None) else ""
             return ("whole-loop fixed-design Pallas kernel "
-                    f"({getattr(self.noise, 'name', '?')} noise stats)")
+                    f"({getattr(self.noise, 'name', '?')} noise "
+                    f"stats{det})")
         if getattr(self, "use_fused", False):
             return "per-iteration fused Pallas kernel (time_signal mode)"
         if getattr(self, "use_stats", False):

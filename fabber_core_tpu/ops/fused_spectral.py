@@ -1,8 +1,25 @@
-"""Whole-program SPECTRAL Pallas kernel: one-read in-kernel sufficient
-statistics + the scalar eigenbasis fixed point, one Pallas invocation.
+"""Whole-program SPECTRAL Pallas kernels: in-kernel sufficient
+statistics + the scalar eigenbasis fixed point.
 
-This is the flagship fixed-design route's speed-of-light form. The two
-prior tiers each leave most of the hardware idle:
+This is the flagship fixed-design route. Three interchangeable forms
+(the engine's --spectral-impl selects; all pinned equivalent by
+tests/test_fused_spectral.py):
+
+  split (default): make_spectral_stats_kernel (MXU statistics in the
+    natural [T,B] layout — one strict HBM read of the data) +
+    make_spectral_core_kernel (eigenbasis fixed point + posterior
+    reconstruction + per-lane F on the voxel-folded layout). Measured
+    v5e, poly 16M voxels: 1.88 + 0.45 ns/voxel, device 16.6ms = 62%
+    of HBM peak, ONE dispatch.
+  xstats: XLA make_design_stats feeds the core kernel. XLA's stats
+    are near the read floor standalone (0.68 ns/voxel) but lose their
+    fusions inside the engine's windowed-stats scan at volume scale.
+  fused (make_fused_spectral_loop): the original one-kernel form —
+    folded-layout VPU statistics, measured vector-issue-bound at
+    ~12-19 ns/voxel; kept as the reference implementation and escape
+    hatch.
+
+The two prior tiers each left most of the hardware idle:
 
 - the XLA spectral route (ops/spectral.py) runs the cheap eigenbasis
   fixed point (~20 flops/voxel-iter) but pays ~5 effective HBM passes
@@ -37,6 +54,13 @@ write — with a per-iteration cost of ~25 VPU flops this route is
 HBM-bound by construction. No time padding is needed: the voxel fold
 [T,V] -> [T*ROWS, V/ROWS] is a contiguous (free) reshape for any T,
 and every per-timepoint slab is sublane-aligned.
+
+Block-size rule (measured, r5): ALWAYS the largest fitting tile over
+a ceil grid with a masked final block — a 1024-voxel tile runs the
+core kernel 4x slower than 16384 (one vreg per plane op). Masked
+final blocks are safe because every op is voxel-lane-local; the only
+cross-lane reduction (the detector early-exit) gets a NaN-safe
+validity mask.
 
 Eligibility (gated by the engine, inference/vb.py): the spectral
 gates — fixed design, white noise with ONE phi group, unlocked noise

@@ -738,7 +738,11 @@ def pick_core_block(nvoxels, p, det=False):
     pick_stats_block). The returned pad only rounds the voxel count
     to the ROWS fold."""
     planes = 10 * p + 2 * p * p + 12 + ((9 + 4) if det else 0)
-    budget = max(VMEM_BUDGET, 12 << 20)
+    # the conservative shared budget, NOT fused_whole's 12MB: at P=4
+    # the 16384 tile lands at ~11MB estimated and measured 6x slower
+    # than poly per voxel (Mosaic register/temp spills); 8MB keeps
+    # P=3 at 16384 and P=4 at 8192
+    budget = VMEM_BUDGET
     fitting = [bb for bb in (16384, 8192, 4096, 2048, 1024)
                if planes * bb * 4 * 2 <= budget]
     if not fitting:

@@ -1731,14 +1731,17 @@ class VBInference:
                     detector=self.detector if fdet else None,
                     det_consts=det_consts)
                 if impl == "split":
-                    sblock, _ = pick_stats_block(nv + pad, self.nt)
+                    # the stats kernel runs on the UNPADDED data (its
+                    # ceil grid masks the final block); only its tiny
+                    # output planes pad up to the core's fold multiple
+                    sblock, _ = pick_stats_block(nv, self.nt)
                     stats_k = make_spectral_stats_kernel(
-                        p, self.nt, nv + pad, self.dtype, block=sblock,
+                        p, self.nt, nv, self.dtype, block=sblock,
                         interpret=self.sw_interpret)
                     dw8, dcol, q8, aconsts = mxu_consts
                     m0, rtqr, dtqr = stats_k(
-                        pad_v(data).astype(self.dtype),
-                        dw8, dcol, q8, aconsts)
+                        data.astype(self.dtype), dw8, dcol, q8, aconsts)
+                    m0, rtqr, dtqr = pad_v(m0), pad_v(rtqr), pad_v(dtqr)
                 else:
                     # stats on the UNPADDED data (padding the [T,V]
                     # plane would copy it — gigabytes at volume

@@ -735,8 +735,15 @@ def make_spectral_stats_kernel(nparams, nt, nvoxels, dtype, block=2048,
 def pick_core_block(nvoxels, p, det=False):
     """Voxel tile for the core kernel: ~10P + 2P^2 live planes.
     Largest fitting block; ceil grid with a masked final block (see
-    pick_stats_block). The returned pad only rounds the voxel count
-    to the ROWS fold."""
+    pick_stats_block). The returned pad rounds the voxel count to a
+    multiple of ROWS*128 = 1024: the engine-side fold
+    [r, V] -> [r*ROWS, V/ROWS] is a FREE (layout-compatible) reshape
+    only when the folded lane count V/ROWS is a multiple of the 128
+    lane tile — otherwise XLA relayouts every folded plane through
+    linear-layout while loops (measured 3-4x the whole route's device
+    time at 8M voxels, where V/8 = 1M is not 128-aligned). Only the
+    tiny stats planes are padded (the caller keeps the data plane
+    unpadded)."""
     planes = 10 * p + 2 * p * p + 12 + ((9 + 4) if det else 0)
     # the conservative shared budget, NOT fused_whole's 12MB: at P=4
     # the 16384 tile lands at ~11MB estimated and measured 6x slower
@@ -747,7 +754,7 @@ def pick_core_block(nvoxels, p, det=False):
                if planes * bb * 4 * 2 <= budget]
     if not fitting:
         return None
-    return fitting[0], (-nvoxels) % ROWS
+    return fitting[0], (-nvoxels) % (ROWS * 128)
 
 
 def make_spectral_core_kernel(nparams, n_iters, nvoxels, dtype,

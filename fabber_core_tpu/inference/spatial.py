@@ -539,7 +539,7 @@ class SpatialVBInference(VBInference):
         return means, prec, cov, pm, pp
 
     # -- sweep ------------------------------------------------------------
-    def _sweep(self, it, s, bind, stats=None):
+    def _sweep(self, it, s, bind, stats=None, skip_f=False):
         active = ~s.bad
         post = s.post
 
@@ -554,9 +554,11 @@ class SpatialVBInference(VBInference):
         else:
             nsums = []
             ak = s.ak
-        return self._sweep_core(it, s, bind, stats, nsums, ak, active)
+        return self._sweep_core(it, s, bind, stats, nsums, ak, active,
+                                skip_f=skip_f)
 
-    def _sweep_core(self, it, s, bind, stats, nsums, ak, active):
+    def _sweep_core(self, it, s, bind, stats, nsums, ak, active,
+                    skip_f=False):
         """Everything in a sweep AFTER the cross-voxel reductions
         (neighbour sums + aK): voxel-local prior application, theta and
         noise updates, free energy, failure excision. Shared by the
@@ -608,11 +610,12 @@ class SpatialVBInference(VBInference):
 
         new_post = PosteriorState(means, prec, cov, prior_means, prior_prec,
                                   noise_post)
-        if self.need_f and stats is not None:
+        need_f_here = self.need_f and not skip_f
+        if need_f_here and stats is not None:
             f = self.noise.free_energy_stats(
                 noise_post, self.noise_prior, means, prec, cov,
                 prior_means, prior_prec, stats) + fprior
-        elif self.need_f:
+        elif need_f_here:
             offset, jac = self._recentre(means, bind)
             f = self.noise.free_energy(
                 noise_post, self.noise_prior, means, prec, cov,
@@ -623,18 +626,18 @@ class SpatialVBInference(VBInference):
             f = s.f
 
         # newly-failed voxels revert to their pre-sweep state and are
-        # excised from the neighbour graph for all future sweeps
+        # excised from the neighbour graph for all future sweeps.
+        # ONE select pass: keep `new` exactly where the lane is
+        # neither frozen (s.bad) nor newly bad — identical selection
+        # to the two-step frozen-then-revert merge (a frozen lane is
+        # never newly bad), at half the plane traffic.
         finite = (jnp.all(jnp.isfinite(means), axis=0)
                   & jnp.all(jnp.isfinite(cov), axis=(0, 1)))
         bad = s.bad | ~finite
 
         new = SpatialState(post=new_post, centre=means, f=f, ak=ak, bad=bad)
-        frozen = s.bad
-        merged = _lane_where(~frozen, new._replace(ak=(), bad=()),
+        merged = _lane_where(~bad, new._replace(ak=(), bad=()),
                              s._replace(ak=(), bad=()))
-        # revert newly-bad lanes entirely
-        newly_bad = bad & ~s.bad
-        merged = _lane_where(~newly_bad, merged, s._replace(ak=(), bad=()))
         return merged._replace(ak=ak, bad=bad)
 
     # -- capacity / blocked streaming (beyond-HBM escape) ------------------
@@ -918,8 +921,158 @@ class SpatialVBInference(VBInference):
         return result
 
     # -- driver -----------------------------------------------------------
+    def _dense_p1_eligible(self):
+        """Gate for the grid-carried P=1 fast sweep (below)."""
+        return (self.sweep_mode == "jacobi"
+                and float(self.f_stop_tol) <= 0
+                and self.use_stats
+                and getattr(self.noise, "name", "") == "white"
+                and self.noise.nphis == 1
+                and self.noise.locked_noise_stdev <= 0
+                and self.nparams == 1
+                and len(self.spatial_params) == 1
+                and self.spatial_params[0][1] == PRIOR_SPATIAL_M
+                and self._dense is not None
+                and self._dense[4] is None  # contiguous full grid
+                and not self.prior_setup.has_ard
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32))
+
+    def _compiled_sweeps_dense_p1(self):
+        """P=1 / single-M-prior / contiguous-grid fast sweep: every
+        state plane is carried GRID-shaped [Z,Y,X] instead of [1,V].
+
+        Why: XLA assigns the [1,V] SoA planes a T(1,128) tile layout
+        (one sublane) — every elementwise op in the sweep then runs at
+        1/8 VPU lane utilization, profiled as ~2/3 of the whole
+        spatial runtime at 8M voxels. A [Y,X] grid plane gets the full
+        (8,128) tile, and the MRF stencil becomes plain shifted adds
+        on the same layout. The arithmetic is the general sweep's
+        P=1/M specialization, phase for phase (aK update ->
+        spatial prior -> theta stats -> noise stats -> excision
+        merge); F is assembled once at the final state (identical
+        inputs to the general path's deferred last-sweep F). Pinned
+        against the general sweep by tests/test_spatial_fast.py."""
+        from ..noise.white import WhiteNoiseState
+        report = getattr(self, "progress_cb", None)
+        nvox, max_its = self.nvoxels, self.max_its
+        xs, ys, zs, off, inv = self._dense
+        G = (zs, ys, xs)
+        self._ensure_noise_prior()
+        b0 = float(np.asarray(self.noise_prior.b).reshape(-1)[0])
+        c0 = float(np.asarray(self.noise_prior.c).reshape(-1)[0])
+        ntg = float(np.asarray(self.noise.ntimes_per_group).reshape(-1)[0])
+        cpost = (ntg - 1.0) * 0.5 + c0
+        q1, q2 = float(self.q1), float(self.q2)
+        base_prec = float(self.params[0].prior.prec)
+        upd_first = bool(self.update_first_iter)
+        speed = float(self.spatial_speed)
+        dt = self.dtype
+
+        def report_sweep(i):
+            report(int(i) * nvox // max_its, nvox)
+
+        @jax.jit
+        def loop(s, bind):
+            stats = self.noise.make_design_stats(bind.design, bind.data)
+            dtqd = stats.dtqd[0, 0, 0].astype(dt)
+
+            def g(x):
+                return x.reshape(G).astype(dt)
+
+            m0 = g(stats.m0[0])
+            rtqr = g(stats.rtqr[0])
+            dtqr = g(stats.dtqr[0, 0])
+            dtqy = dtqr + dtqd * m0
+            inv_b0 = np.float32(1.0 / b0)
+            hk = np.float32(self.ak_nvoxels * 0.5 + q2)
+
+            init = (g(s.post.means[0]), g(s.post.prec[0, 0]),
+                    g(s.post.cov[0, 0]), g(s.post.prior_means[0]),
+                    g(s.post.prior_prec[0]), g(s.post.noise.b[0]),
+                    g(s.post.noise.c[0]), s.bad.reshape(G),
+                    s.ak[0].astype(dt))
+
+            def sweep(i, carry):
+                m, prec, cov, pmn, ppr, b, c, bad, ak = carry
+                act = (~bad).astype(dt)
+                # cross-voxel phase: stencil sums + the aK reduction
+                # (_neighbour_sums / _calculate_ak, M branch)
+                nn = self._stencil_sum(act)
+                nsum = self._stencil_sum(m * act)
+                tr_term = jnp.sum(cov * (nn + MRF_JITTER) * act)
+                swk = nn * m - nsum
+                term2 = jnp.sum(swk * m * act)
+                gk = 1.0 / (0.5 * tr_term + 0.5 * term2 + 1.0 / q1)
+                ak_new = jnp.maximum(gk * hk, AK_FLOOR)
+                if speed > 0:
+                    ak_new = jnp.minimum(
+                        ak_new, jnp.maximum(ak_new * speed, 0.5))
+                ak2 = jnp.where((i > 0) | upd_first, ak_new, ak)
+                # spatial prior, M type (_apply_spatial_priors)
+                sp_prec = ak2 * (nn + MRF_JITTER)
+                new_pp = base_prec + sp_prec
+                sp_mean = nsum * (1.0 / jnp.maximum(nn, 1e-30))
+                new_pm = (1.0 / new_pp) * sp_prec * sp_mean
+                # theta update, P=1 stats (white.py update_theta_stats)
+                phi = b * c
+                prec2 = phi * dtqd + new_pp
+                cov2 = 1.0 / prec2
+                m2 = cov2 * (phi * dtqy + new_pp * new_pm)
+                # noise update (white.py update_noise_stats)
+                delta = m2 - m0
+                kqk = jnp.maximum(
+                    rtqr - 2.0 * delta * dtqr + dtqd * delta * delta,
+                    0.0)
+                tr = dtqd * cov2
+                b2 = 1.0 / ((kqk + tr) * 0.5 + inv_b0)
+                c2 = jnp.full_like(b2, cpost)
+                # excision merge (one select; newly-bad lanes revert)
+                finite = jnp.isfinite(m2) & jnp.isfinite(cov2)
+                bad2 = bad | ~finite
+                keep = ~bad2
+
+                def sel(n, o):
+                    return jnp.where(keep, n, o)
+
+                if report is not None:
+                    jax.debug.callback(report_sweep, i + 1)
+                return (sel(m2, m), sel(prec2, prec), sel(cov2, cov),
+                        sel(new_pm, pmn), sel(new_pp, ppr),
+                        sel(b2, b), sel(c2, c), bad2, ak2)
+
+            (m, prec, cov, pmn, ppr, b, c, bad, ak) = jax.lax.fori_loop(
+                0, max_its, sweep, init)
+
+            # back to SoA planes; F assembled once at the final state
+            # (identical inputs to the general path's last-sweep F)
+            def u(x):
+                return x.reshape(1, -1)
+
+            means_p = u(m)
+            prec_p = u(prec)[None]
+            cov_p = u(cov)[None]
+            pm_p = u(pmn)
+            pp_p = u(ppr)
+            noise_post = WhiteNoiseState(u(b), u(c))
+            post = PosteriorState(means_p, prec_p, cov_p, pm_p, pp_p,
+                                  noise_post)
+            if self.need_f:
+                f = self.noise.free_energy_stats(
+                    noise_post, self.noise_prior, means_p, prec_p,
+                    cov_p, pm_p, pp_p, stats)
+            else:
+                f = s.f
+            return SpatialState(
+                post=post, centre=means_p, f=f,
+                ak=ak[None].astype(self.dtype), bad=bad.reshape(-1),
+                its=jnp.array(max_its, jnp.int32))
+
+        return loop
+
     def compiled_sweeps(self):
         """The full jitted spatial computation: state -> final state."""
+        if self._dense_p1_eligible():
+            return self._compiled_sweeps_dense_p1()
         report = getattr(self, "progress_cb", None)
         nvox, max_its = self.nvoxels, self.max_its
 
@@ -943,7 +1096,26 @@ class SpatialVBInference(VBInference):
                 return st
 
             if fstop <= 0:
-                out = jax.lax.fori_loop(0, max_its, body, s)
+                # fixed sweep count: only the LAST sweep's F is ever
+                # observed, so the first max_its-1 sweeps skip the
+                # whole-volume ELBO assembly (~1/3 of a sweep's plane
+                # traffic at P=1). lax.cond keeps the skipped branch
+                # unexecuted at runtime; the final F is computed by the
+                # identical in-sweep path, so results are bitwise
+                # unchanged.
+                def body_defer(i, st):
+                    st = jax.lax.cond(
+                        i == max_its - 1,
+                        lambda s_: self._sweep(i, s_, bind, stats),
+                        lambda s_: self._sweep(i, s_, bind, stats,
+                                               skip_f=True),
+                        st)
+                    if report is not None:
+                        jax.debug.callback(report_sweep, i + 1)
+                    return st
+
+                out = jax.lax.fori_loop(
+                    0, max_its, body_defer if self.need_f else body, s)
                 return out._replace(
                     its=jnp.array(max_its, jnp.int32))
 

@@ -38,6 +38,8 @@ OUT = os.path.dirname(os.path.abspath(__file__))
 # to tests/oracle_nlls.py)
 LAMBDA_INIT, LAMBDA_GROW, LAMBDA_SHRINK, LAMBDA_MAX = 1e-3, 10.0, 0.1, 1e10
 PREC_DIAG_FLOOR = 1e-6
+CFTOL = 1e-5          # engine's f32-scaled relative cost tolerance
+PLATEAU_LAMBDA = 1.0  # engine's rejected-plateau convergence guard
 
 
 def read_vest(path):
@@ -133,12 +135,20 @@ def nlls_expected(data, design, max_its=100):
             delta = np.linalg.solve(jtj + lam * np.eye(p), jac @ r)
             trial = pv + delta
             tcost = float(np.sum((y - design @ trial) ** 2))
+            converged = False
             if np.isfinite(tcost) and tcost < cost:
+                converged = (cost - tcost) <= CFTOL * max(abs(tcost),
+                                                          1e-30)
                 pv, cost = trial, tcost
                 lam *= LAMBDA_SHRINK
             else:
+                # rejected-plateau exit (inference/nlls.py semantics)
+                converged = (np.isfinite(tcost)
+                             and lam >= PLATEAU_LAMBDA
+                             and (tcost - cost) <= CFTOL
+                             * max(abs(cost), 1e-30))
                 lam *= LAMBDA_GROW
-            if lam > LAMBDA_MAX:
+            if converged or lam > LAMBDA_MAX:
                 break
         mse = cost / (len(y) - p)
         prec = (jac @ jac.T) / mse

@@ -924,6 +924,7 @@ class SpatialVBInference(VBInference):
     def _dense_p1_eligible(self):
         """Gate for the grid-carried P=1 fast sweep (below)."""
         return (self.sweep_mode == "jacobi"
+                and getattr(self, "mesh", None) is None
                 and float(self.f_stop_tol) <= 0
                 and self.use_stats
                 and getattr(self.noise, "name", "") == "white"

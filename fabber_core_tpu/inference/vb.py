@@ -391,7 +391,7 @@ class VBInference:
         # with the model-default (diagonal) alpha prior
         loop_noise_ok = (
             noise_name == "white"
-            or (noise_name == "ar" and self.noise.nphis == 1
+            or (noise_name == "ar" and self.noise.nphis in (1, 2)
                 and self.noise.nalphas == 2
                 and options.get_string("noise-initial-prior",
                                        "modeldefault") == "modeldefault"))
@@ -402,7 +402,8 @@ class VBInference:
                                           n_ar_loop_planes)
             planes = (n_white_loop_planes(self.nparams, self.noise.nphis)
                       if noise_name == "white"
-                      else n_ar_loop_planes(self.nparams))
+                      else n_ar_loop_planes(self.nparams,
+                                            nq=self.noise.nphis))
             loop_noise_ok = pick_block(1024, planes) is not None
         # gates shared by every whole-loop/spectral fast route: stats
         # form, default initial dists, iteration-invariant priors, f32
@@ -438,7 +439,8 @@ class VBInference:
         if ar_fdet_ok:
             from ..ops.fused_loop import (pick_block as _pb,
                                           n_ar_loop_planes as _nar)
-            ar_fdet_ok = _pb(1024, _nar(self.nparams, fdet=True)) \
+            ar_fdet_ok = _pb(1024, _nar(self.nparams, fdet=True,
+                                        nq=self.noise.nphis)) \
                 is not None
         self.ar_loop_fdet = ar_fdet if ar_fdet_ok else None
         loop_eligible = (
@@ -1321,11 +1323,13 @@ class VBInference:
         from ..ops.fused_loop_ar import make_fused_ar_loop, pack_ar_consts
 
         self._ensure_noise_prior()
+        nq = self.noise.nphis
         _, post1 = self.noise.initial_state(1, self.dtype)
-        init_b = float(post1.b[0, 0])
-        init_c = float(post1.c[0, 0])
-        init_acov00 = float(post1.alpha_cov[0, 0, 0])
-        init_aprec00 = float(post1.alpha_prec[0, 0, 0])
+        init_b = [float(post1.b[n, 0]) for n in range(nq)]
+        init_c = [float(post1.c[n, 0]) for n in range(nq)]
+        init_acov = [float(post1.alpha_cov[n, n, 0]) for n in range(nq)]
+        init_aprec = [float(post1.alpha_prec[n, n, 0])
+                      for n in range(nq)]
         ap11 = float(self.noise_prior.alpha_prec[1, 1, 0])
         n_iters = int(self.detector.max_iterations)
         p = self.nparams
@@ -1343,12 +1347,15 @@ class VBInference:
             # host-folded constant block of the degenerate AR(1) ELBO
             # (noise/ar1.py _free_energy_tail; the digamma terms of
             # -exp_phi and part0 cancel exactly since part0's
-            # coefficient is c_post - 1)
+            # coefficient is c_post - 1; non-updated alphas contribute
+            # the -0.5 part8 constant each, updated ones carry their
+            # plane terms in-kernel)
             f_const = ((1.0 + 0.5 * p) * (l2p + 1.0)
-                       + float(_gln(cp)) + cp
+                       + nq * (float(_gln(cp)) + cp)
                        - l2p * ((nt_e - 1.0) + 1.0 + 0.5 * p)
-                       - 0.5
-                       - 2.0 * float(_gln(c0)) - 2.0 * c0 * _math.log(b0))
+                       - 0.5 * (2 - nq)
+                       - nq * (2.0 * float(_gln(c0))
+                               + 2.0 * c0 * _math.log(b0)))
             conv1 = self.detector.init_state(1, self.dtype)
             det_consts = {
                 "f_const": f_const, "lb_coeff": cp,
@@ -1359,7 +1366,7 @@ class VBInference:
             from ..ops.fused_loop import pick_block, n_ar_loop_planes
             nv = m0.shape[-1]
             block, pad = pick_block(
-                nv, n_ar_loop_planes(p, fdet=fdet is not None))
+                nv, n_ar_loop_planes(p, fdet=fdet is not None, nq=nq))
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -1371,7 +1378,7 @@ class VBInference:
                 p, n_iters, nv + pad, self.dtype,
                 block=block, interpret=self.loop_interpret,
                 detector=self.detector if fdet else None,
-                det_consts=det_consts)
+                det_consts=det_consts, nq=nq)
             outs = fused(pad_v(m0), pad_v(rmr), pad_v(dmr),
                          consts, pad_v(prior_means), pad_v(prior_prec))
             if pad:
@@ -1396,8 +1403,8 @@ class VBInference:
             consts = pack_ar_consts(
                 stats.dmd, self.noise_prior.alpha_prec,
                 self.noise_prior.b, self.noise_prior.c,
-                self.noise.ntimes, init_b, init_c, init_acov00,
-                init_aprec00, self.dtype)
+                self.noise.ntimes, init_b, init_c, init_acov,
+                init_aprec, self.dtype, nq=nq)
             outs = dispatch(stats.m0, stats.rmr, stats.dmr, consts,
                             prior_means, prior_prec)
             (means, prec, cov, amu0, acov00, aprec00, nb, nc) = outs[:8]
@@ -1415,27 +1422,37 @@ class VBInference:
                 nb = jnp.where(sel_init[None, :], s.post.noise.b, nb)
                 nc = jnp.where(sel_init[None, :], s.post.noise.c, nc)
                 amu0 = jnp.where(sel_init[None, :],
-                                 s.post.noise.alpha_means[:1], amu0)
-                acov00 = jnp.where(sel_init[None, :],
-                                   s.post.noise.alpha_cov[0, :1], acov00)
-                aprec00 = jnp.where(sel_init[None, :],
-                                    s.post.noise.alpha_prec[0, :1],
-                                    aprec00)
+                                 s.post.noise.alpha_means[:nq], amu0)
+                acov00 = jnp.where(
+                    sel_init[None, :],
+                    jnp.stack([s.post.noise.alpha_cov[n, n]
+                               for n in range(nq)]), acov00)
+                aprec00 = jnp.where(
+                    sel_init[None, :],
+                    jnp.stack([s.post.noise.alpha_prec[n, n]
+                               for n in range(nq)]), aprec00)
                 prior_means = jnp.where(sel_init[None, :],
                                         s.post.prior_means, prior_means)
                 prior_prec = jnp.where(sel_init[None, :],
                                        s.post.prior_prec, prior_prec)
 
-            # reassemble the 2x2 alpha MVN: only alpha_1 is updated in
-            # the no-cross-terms basis; alpha_2 keeps its prior
+            # reassemble the 2x2 alpha MVN: alpha_n is updated by echo
+            # group n in the no-cross-terms basis; with one echo
+            # alpha_2 keeps its prior
             zero = jnp.zeros_like(amu0[0])
-            alpha_means = jnp.stack([amu0[0], zero])
+            alpha_means = jnp.stack(
+                [amu0[n] for n in range(nq)]
+                + [zero for _ in range(2 - nq)])
+            acv_d = [acov00[n] for n in range(nq)] \
+                + [jnp.full_like(zero, 1.0 / ap11) for _ in range(2 - nq)]
+            apr_d = [aprec00[n] for n in range(nq)] \
+                + [jnp.full_like(zero, ap11) for _ in range(2 - nq)]
             alpha_cov = jnp.stack([
-                jnp.stack([acov00[0], zero]),
-                jnp.stack([zero, jnp.full_like(zero, 1.0 / ap11)])])
+                jnp.stack([acv_d[0], zero]),
+                jnp.stack([zero, acv_d[1]])])
             alpha_prec = jnp.stack([
-                jnp.stack([aprec00[0], zero]),
-                jnp.stack([zero, jnp.full_like(zero, ap11)])])
+                jnp.stack([apr_d[0], zero]),
+                jnp.stack([zero, apr_d[1]])])
             noise_post = Ar1NoiseState(
                 alpha_means=alpha_means, alpha_cov=alpha_cov,
                 alpha_prec=alpha_prec, b=nb, c=nc)

@@ -81,18 +81,19 @@ def n_white_loop_planes(p, nq):
     return ins + outs + carry + derived
 
 
-def n_ar_loop_planes(p, fdet=False):
+def n_ar_loop_planes(p, fdet=False, nq=1):
     """Live-plane estimate for make_fused_ar_loop (see pick_block).
     fdet adds the in-kernel detector lanes plus the best-state copies
-    of the save/revert protocol."""
+    of the save/revert protocol; nq = echo groups (specs and the
+    noise-state rows scale with it)."""
     ntri = p * (p + 1) // 2
-    s = 3
+    s = 3 * nq
     ins = 3 * p + s + s * p
-    outs = p + 2 * p * p + 5
-    carry = 5 + p + 2 * ntri
+    outs = p + 2 * p * p + 5 * nq
+    carry = 5 * nq + p + 2 * ntri
     # dmy (s*p planes) lives across the loop next to dmr (see above)
     derived = s * p
-    det = (9 + 4 + (5 + p + 2 * ntri)) if fdet else 0
+    det = (9 + 4 + (5 * nq + p + 2 * ntri)) if fdet else 0
     return ins + outs + carry + derived + det
 
 

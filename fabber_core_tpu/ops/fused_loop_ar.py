@@ -7,13 +7,15 @@ point runs in one Pallas invocation on VMEM-resident state. Per voxel
 tile the statistics are read from HBM once and only the final
 posterior + AR noise state are written back.
 
-Scope: single-echo, no cross terms (num-echoes=1, ar1-cross-terms=none
-— the common configuration and the BASELINE.json ar1 config). Then
-A=2 alphas with a DIAGONAL prior precision, one phi group, and the
-basis-spec list is exactly [(0,0), (1,0), (2,0)] (noisemodel_ar.cc
-alpha-power indices), so the alpha MVN update degenerates to scalar
-planes: only alpha_1 is ever updated (alpha_2 keeps its prior) and the
-2x2 alpha precision stays diagonal. The per-iteration arithmetic is
+Scope: ar1-cross-terms=none with 1 OR 2 interleaved echoes (the
+common configurations; the BASELINE.json ar1 config and the bench ar2
+config). Without cross terms the echoes are INDEPENDENT AR chains:
+A=2 alphas with a DIAGONAL prior precision, nq = num-echoes phi
+groups, and each group's basis-spec list is [(0,0), (1,0), (2,0)]
+(noisemodel_ar.cc alpha-power indices), so the alpha MVN update
+degenerates to nq scalar planes (alpha_n updated by group n; with
+nq=1 alpha_2 keeps its prior) and the 2x2 alpha precision stays
+diagonal. The per-iteration arithmetic is
 identical to Ar1NoiseModel.update_theta_stats / update_noise_stats
 (Eq 19/20 + UpdateAlpha/UpdatePhi, noisemodel_ar.cc:433-557), pinned
 by tests/test_fused_loop_ar.py against the XLA stats route.
@@ -42,23 +44,25 @@ from .fused_loop import (ROWS, DEFAULT_BLOCK, make_plane_algebra,
                          make_voxel_layout)
 from .fused_whole import _mask_detector_step
 
-NSPECS = 3  # (0,0), (1,0), (2,0) — single-echo, no cross terms
+NSPECS = 3  # (0,0), (1,0), (2,0) per echo group — no cross terms
 
 
 def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
                        block=DEFAULT_BLOCK, interpret=False,
-                       detector=None, det_consts=None):
+                       detector=None, det_consts=None, nq=1):
     """Build the whole-loop callable.
 
     Returns fn(m0 [P,V], rmr [S,V], dmr [S,P,V], consts [K*ROWS,1],
                prior_means [P,V], prior_prec [P,V])
         -> (means [P,V], prec [P,P,V], cov [P,P,V],
-            amu0 [1,V], acov00 [1,V], aprec00 [1,V], b [1,V], c [1,V]
+            amu [nq,V], acov [nq,V], aprec [nq,V], b [nq,V], c [nq,V]
             [, f [1,V], its [1,V]  — detector mode])
+    with S = 3*nq (spec ordering echo-major, noise/ar1.py _spec_list).
 
     consts packs, in order (see pack_ar_consts): dmd flattened
-    [S*P*P], ap00, ap11 (alpha prior precision diagonal), inv_b0,
-    c_post, init_b, init_c, init_acov00, init_aprec00.
+    [S*P*P], ap00, ap11 (alpha prior precision diagonal), then
+    per-group inv_b0 / c_post / init_b / init_c [nq each], then
+    per-group init_acov / init_aprec [nq each].
 
     detector (optional): a pointzeroone / freduce instance; its
     batched state machine runs in-kernel each iteration on the
@@ -70,7 +74,7 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
     selected (freduce-reverted) state is the engine-initial posterior.
     """
     p = nparams
-    s_n = NSPECS
+    s_n = NSPECS * nq
     tri, ti, chol_tri_jittered, inv_from_chol = make_plane_algebra(p, dtype)
     ntri = len(tri)
     fdet = detector is not None
@@ -97,10 +101,13 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
             return cst(s * p * p + i * p + j)
 
         base = s_n * p * p
-        ap00, ap11 = cst(base), cst(base + 1)
-        inv_b0, c_post = cst(base + 2), cst(base + 3)
-        init_b, init_c = cst(base + 4), cst(base + 5)
-        init_acov00, init_aprec00 = cst(base + 6), cst(base + 7)
+        ap = [cst(base), cst(base + 1)]
+        inv_b0 = [cst(base + 2 + n) for n in range(nq)]
+        c_post = [cst(base + 2 + nq + n) for n in range(nq)]
+        init_b = [cst(base + 2 + 2 * nq + n) for n in range(nq)]
+        init_c = [cst(base + 2 + 3 * nq + n) for n in range(nq)]
+        init_acov = [cst(base + 2 + 4 * nq + n) for n in range(nq)]
+        init_aprec = [cst(base + 2 + 5 * nq + n) for n in range(nq)]
 
         m0 = [plane(m0_ref, i) for i in range(p)]
         pm = [plane(pm_ref, i) for i in range(p)]
@@ -115,24 +122,30 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
         ones = jnp.ones((ROWS, b), dtype)
         if fdet:
             # loop-invariant ELBO pieces: part3 (prior-precision logs)
-            # plus the surviving alpha-prior log (module docstring)
-            f_base = 0.5 * jnp.log(ap00) * ones
+            # plus the surviving alpha-prior logs of the UPDATED alphas
+            # (non-updated alphas: exp_alpha and part6 cancel exactly)
+            f_base = jnp.zeros((ROWS, b), dtype)
+            for n in range(nq):
+                f_base = f_base + 0.5 * jnp.log(ap[n]) * ones
             for i in range(p):
                 f_base = f_base + 0.5 * jnp.log(pp[i])
 
         def step(st):
-            # st rows: b, c, amu0, acov00, aprec00 (each a ROWS-tall
-            # plane); returns (st_new, means, prec tri, cov tri, f)
-            bq, cq = plane(st, 0), plane(st, 1)
-            amu0, acov00 = plane(st, 2), plane(st, 3)
+            # st rows (group-major): b[nq], c[nq], amu[nq], acov[nq],
+            # aprec[nq]; returns (st_new, means, prec tri, cov tri, f)
+            bq = [plane(st, n) for n in range(nq)]
+            cq = [plane(st, nq + n) for n in range(nq)]
+            amu = [plane(st, 2 * nq + n) for n in range(nq)]
+            acov = [plane(st, 3 * nq + n) for n in range(nq)]
 
-            sici = bq * cq  # E[phi]
-            # marginal coefficients of Q = sum_s coeff_s M_s
-            # (noisemodel_ar.cc:197-222): [1, mu, cov+mu^2]
-            coeff = [None, amu0, acov00 + amu0 * amu0]
-
+            sici = [bq[n] * cq[n] for n in range(nq)]  # E[phi_n]
+            # marginal coefficients of Q_n = sum_s coeff_s M_s
+            # (noisemodel_ar.cc:197-222): [1, mu, cov+mu^2] per group
             # ---- theta update (update_theta_stats arithmetic) --------
-            w = [sici, sici * coeff[1], sici * coeff[2]]
+            w = []
+            for n in range(nq):
+                w += [sici[n], sici[n] * amu[n],
+                      sici[n] * (acov[n] + amu[n] * amu[n])]
             prec = []
             for i, j in tri:
                 v = 0.0
@@ -165,23 +178,31 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
                                                     + cov[(a, j)])
                 op.append(acc)
 
-            # ---- alpha update (noisemodel_ar.cc:466-513, diagonal) ---
-            new_aprec00 = ap00 + sici * op[2]
-            new_acov00 = 1.0 / new_aprec00
+            # ---- alpha updates (noisemodel_ar.cc:466-513, diagonal) --
+            new_aprec = [ap[n] + sici[n] * op[3 * n + 2]
+                         for n in range(nq)]
+            new_acov = [1.0 / new_aprec[n] for n in range(nq)]
             # prior contribution to the rhs is zero (zero prior mean)
-            new_amu0 = (-0.5) * sici * op[1] * new_acov00
+            new_amu = [(-0.5) * sici[n] * op[3 * n + 1] * new_acov[n]
+                       for n in range(nq)]
 
-            # ---- phi update with the NEW alpha marginals -------------
+            # ---- phi updates with the NEW alpha marginals ------------
             # (noisemodel_ar.cc:530-556)
-            c_new2 = new_acov00 + new_amu0 * new_amu0
-            tmp1 = op[0] + new_amu0 * op[1] + c_new2 * op[2]
-            new_b = 1.0 / (tmp1 * 0.5 + inv_b0)
-            new_c = c_post * ones
+            tmp1 = []
+            new_b = []
+            new_c = []
+            for n in range(nq):
+                c2 = new_acov[n] + new_amu[n] * new_amu[n]
+                t1 = (op[3 * n] + new_amu[n] * op[3 * n + 1]
+                      + c2 * op[3 * n + 2])
+                tmp1.append(t1)
+                new_b.append(1.0 / (t1 * 0.5 + inv_b0[n]))
+                new_c.append(c_post[n] * ones)
 
             f = ()
             if fdet:
                 # degenerate AR(1) ELBO at the NEW state (module
-                # docstring): part2 IS the phi update's tmp1
+                # docstring): each group's part2 IS its phi tmp1
                 logdet = 0.0
                 for i in range(p):
                     logdet = logdet + 2.0 * jnp.log(ch[ti[(i, i)]])
@@ -189,28 +210,31 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
                 for i in range(p):
                     dm = means[i] - pm[i]
                     dmsum = dmsum + (dm * dm + cov[(i, i)]) * pp[i]
-                new_sici = new_b * c_post
                 f = (dtype(float(det_consts["f_const"])) + f_base
-                     - 0.5 * jnp.log(new_aprec00)
-                     - 0.5 * logdet
-                     + dtype(float(det_consts["lb_coeff"]))
-                     * jnp.log(new_b)
-                     - 0.5 * new_sici * tmp1
-                     - new_b * c_post * inv_b0
-                     - 0.5 * dmsum
-                     - 0.5 * ap00 * (new_amu0 * new_amu0 + new_acov00))
+                     - 0.5 * logdet - 0.5 * dmsum)
+                lb = dtype(float(det_consts["lb_coeff"]))
+                for n in range(nq):
+                    new_sici = new_b[n] * c_post[n]
+                    f = (f - 0.5 * jnp.log(new_aprec[n])
+                         + lb * jnp.log(new_b[n])
+                         - 0.5 * new_sici * tmp1[n]
+                         - new_b[n] * c_post[n] * inv_b0[n]
+                         - 0.5 * ap[n] * (new_amu[n] * new_amu[n]
+                                          + new_acov[n]))
 
             st_new = jnp.concatenate(
-                [new_b, new_c, new_amu0, new_acov00, new_aprec00], 0)
+                new_b + new_c + new_amu + new_acov + new_aprec, 0)
             return (st_new,
                     jnp.concatenate(means, 0),
                     jnp.concatenate(prec, 0),
                     jnp.concatenate([cov[ij] for ij in tri], 0), f)
 
-        st0 = jnp.concatenate([
-            init_b * ones, init_c * ones,
-            jnp.zeros((ROWS, b), dtype),       # amu0
-            init_acov00 * ones, init_aprec00 * ones], 0)
+        st0 = jnp.concatenate(
+            [init_b[n] * ones for n in range(nq)]
+            + [init_c[n] * ones for n in range(nq)]
+            + [jnp.zeros((ROWS, b), dtype) for _ in range(nq)]
+            + [init_acov[n] * ones for n in range(nq)]
+            + [init_aprec[n] * ones for n in range(nq)], 0)
         if not fdet:
             def body(_, carry):
                 st, _means, _prec, _cov = carry
@@ -321,22 +345,23 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
                     plane(prec_t, k)
                 cov_out[(i * p + j) * ROWS:(i * p + j + 1) * ROWS] = \
                     plane(cov_t, k)
+        tag = (1.0 - 2.0 * sel_init) if fdet else 1.0
+        for n in range(nq):
+            b_out[n * ROWS:(n + 1) * ROWS] = tag * plane(st, n)
+            c_out[n * ROWS:(n + 1) * ROWS] = plane(st, nq + n)
+            amu_out[n * ROWS:(n + 1) * ROWS] = plane(st, 2 * nq + n)
+            acov_out[n * ROWS:(n + 1) * ROWS] = plane(st, 3 * nq + n)
+            aprec_out[n * ROWS:(n + 1) * ROWS] = plane(st, 4 * nq + n)
         if fdet:
-            b_out[:] = (1.0 - 2.0 * sel_init) * plane(st, 0)
             det_outs[0][:] = f_lane
             det_outs[1][:] = conv[0]
-        else:
-            b_out[:] = plane(st, 0)
-        c_out[:] = plane(st, 1)
-        amu_out[:] = plane(st, 2)
-        acov_out[:] = plane(st, 3)
-        aprec_out[:] = plane(st, 4)
 
     grid = (nvoxels // block,)
     fold, unfold, vox_spec, fixed_spec, _, vcols = \
         make_voxel_layout(nvoxels, block)
-    nconsts = (s_n * p * p + 8) * ROWS
+    nconsts = (s_n * p * p + 2 + 6 * nq) * ROWS
     out_plane = jax.ShapeDtypeStruct((ROWS, vcols), dtype)
+    gq = jax.ShapeDtypeStruct((nq * ROWS, vcols), dtype)
     n_extra = 2 if fdet else 0
     call = pl.pallas_call(
         kernel,
@@ -344,13 +369,14 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
         in_specs=[vox_spec(p), vox_spec(s_n), vox_spec(s_n * p),
                   fixed_spec(nconsts, 1), vox_spec(p), vox_spec(p)],
         out_specs=(vox_spec(p), vox_spec(p * p), vox_spec(p * p),
-                   vox_spec(1), vox_spec(1), vox_spec(1), vox_spec(1),
-                   vox_spec(1)) + (vox_spec(1),) * n_extra,
+                   vox_spec(nq), vox_spec(nq), vox_spec(nq),
+                   vox_spec(nq), vox_spec(nq))
+        + (vox_spec(1),) * n_extra,
         out_shape=(
             jax.ShapeDtypeStruct((p * ROWS, vcols), dtype),
             jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
             jax.ShapeDtypeStruct((p * p * ROWS, vcols), dtype),
-            out_plane, out_plane, out_plane, out_plane, out_plane,
+            gq, gq, gq, gq, gq,
         ) + (out_plane,) * n_extra,
         interpret=interpret,
     )
@@ -369,26 +395,28 @@ def make_fused_ar_loop(nparams, n_iters, nvoxels, dtype,
 
 
 def pack_ar_consts(dmd, alpha_prior_prec, noise_prior_b, noise_prior_c,
-                   ntimes, init_b, init_c, init_acov00, init_aprec00,
-                   dtype):
+                   ntimes, init_b, init_c, init_acov, init_aprec,
+                   dtype, nq=1):
     """[K*ROWS,1] kernel constant vector (see make_fused_ar_loop).
 
     dmd [S,P,P] (traced ok); alpha_prior_prec [A,A,1] (must be
     diagonal — the engine gates on the default prior); noise_prior_b/c
-    [1,1] arrays or scalars; ntimes samples per echo; init_* python
-    floats from the model-default initial state.
+    [nq]-broadcastable arrays or scalars; ntimes samples per echo;
+    init_* python floats (or [nq] sequences) from the model-default
+    initial state.
     """
-    b0 = jnp.asarray(noise_prior_b, dtype).reshape(())
-    c0 = jnp.asarray(noise_prior_c, dtype).reshape(())
+    def seq(x):
+        a = jnp.asarray(x, dtype).reshape(-1)
+        return jnp.broadcast_to(a, (nq,)) if a.shape[0] != nq else a
+
+    b0 = seq(noise_prior_b)
+    c0 = seq(noise_prior_c)
     app = jnp.asarray(alpha_prior_prec, dtype).reshape(2, 2)
+    cp = (jnp.asarray(float(ntimes), dtype) - 1.0) * 0.5 + c0
     flat = jnp.concatenate([
         dmd.reshape(-1).astype(dtype),
-        jnp.stack([app[0, 0], app[1, 1],
-                   1.0 / b0,
-                   (jnp.asarray(float(ntimes), dtype) - 1.0) * 0.5 + c0,
-                   jnp.asarray(float(init_b), dtype),
-                   jnp.asarray(float(init_c), dtype),
-                   jnp.asarray(float(init_acov00), dtype),
-                   jnp.asarray(float(init_aprec00), dtype)]),
+        jnp.stack([app[0, 0], app[1, 1]]),
+        1.0 / b0, cp, seq(init_b), seq(init_c),
+        seq(init_acov), seq(init_aprec),
     ])
     return jnp.repeat(flat, ROWS)[:, None]

@@ -42,10 +42,12 @@ def assert_match(rx, rp):
     np.testing.assert_allclose(rx.cov, rp.cov, rtol=8e-4, atol=1e-7)
     # noise MVN covers alphas + phi: alpha variances are O(1e4) at the
     # uninformative end, so compare on a relative scale with atol
+    # atol 5e-6: near-zero alpha means inherit ~1e-5-scale absolute
+    # f32 roundoff from the O(1e2) banded quadratics they come from
     np.testing.assert_allclose(rx.noise_means, rp.noise_means,
-                               rtol=5e-4, atol=1e-6)
+                               rtol=5e-4, atol=5e-6)
     np.testing.assert_allclose(rx.noise_cov, rp.noise_cov,
-                               rtol=5e-4, atol=1e-6)
+                               rtol=5e-4, atol=5e-6)
     if rx.free_energy is not None:
         np.testing.assert_allclose(rx.free_energy, rp.free_energy,
                                    rtol=1e-4, atol=2e-3)
@@ -86,11 +88,12 @@ def test_ar_loop_kernel_alpha_recovery():
 
 
 @pytest.mark.parametrize("extra", [
-    {"num-echoes": "2"},
     {"num-echoes": "2", "ar1-cross-terms": "dual"},
-], ids=["echoes2", "cross"])
+    {"num-echoes": "2", "ar1-cross-terms": "same"},
+], ids=["cross-dual", "cross-same"])
 def test_ar_loop_kernel_ineligible_falls_back(extra):
-    """Multi-echo / cross-term configs take the XLA stats route."""
+    """Cross-term configs (coupled alpha MVN) take the XLA stats
+    route; plain multi-echo is kernel-eligible since r5."""
     eng = make_engine(128, "pallas-loop", extra, nt=30)
     assert not eng.use_loop_kernel
     res = eng.run()
@@ -138,3 +141,55 @@ def test_ar_loop_kernel_fdet_short_cap():
     rp = eng.run()
     np.testing.assert_array_equal(rx.iterations, rp.iterations)
     assert_match(rx, rp)
+
+
+def test_ar2_loop_kernel_matches_xla():
+    """2-echo interleaved AR(1), no cross terms: two independent AR
+    chains — the kernel's nq=2 generalization vs the XLA stats
+    route."""
+    extra = {"num-echoes": "2"}
+    rx = make_engine(200, "xla", dict(extra)).run()
+    eng = make_engine(200, "pallas-loop", dict(extra))
+    assert eng.use_loop_kernel and eng.loop_interpret
+    assert_match(rx, eng.run())
+
+
+def test_ar2_loop_kernel_p2():
+    """P=3 tri indexing under nq=2. The raw degree-2 design (t^2 to
+    900) is ill-conditioned in f32: BOTH routes sit ~0.02 absolute
+    from the f64 reference on the near-zero alpha means (measured;
+    the kernel marginally closer on average), so route-vs-route noise
+    agreement here is bounded by 2x that, not by the well-conditioned
+    cases' 5e-6."""
+    extra = {"num-echoes": "2", "degree": "2"}
+    rx = make_engine(128, "xla", dict(extra)).run()
+    eng = make_engine(128, "pallas-loop", dict(extra))
+    assert eng.use_loop_kernel
+    rp = eng.run()
+    sd = np.sqrt(np.diagonal(rx.cov, axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means - rp.means) / sd) < 5e-3
+    np.testing.assert_allclose(rx.noise_means, rp.noise_means,
+                               rtol=5e-2, atol=5e-4)
+
+
+@pytest.mark.parametrize("det", ["pointzeroone", "freduce"])
+def test_ar2_loop_kernel_fdet(det):
+    extra = {"num-echoes": "2", "convergence": det,
+             "max-iterations": "20"}
+    rx = make_engine(200, "xla", dict(extra)).run()
+    eng = make_engine(200, "pallas-loop", dict(extra))
+    assert eng.use_loop_kernel and eng.ar_loop_fdet == det
+    rp = eng.run()
+    diff = np.abs(rx.iterations - rp.iterations)
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.02, diff
+    same = rx.iterations == rp.iterations
+
+    def cut(r):
+        return r._replace(
+            means=r.means[same], cov=r.cov[same],
+            noise_means=r.noise_means[same], noise_cov=r.noise_cov[same],
+            free_energy=None if r.free_energy is None
+            else r.free_energy[same],
+            iterations=r.iterations[same], bad_voxels=r.bad_voxels[same])
+
+    assert_match(cut(rx), cut(rp))

@@ -129,6 +129,11 @@ class NLLSInference:
                        "Use Levenberg-Marquardt damping (default Levenberg)"),
             OptionSpec("nlls-max-iterations", OPT_INT,
                        "Maximum optimizer iterations", default="100"),
+            OptionSpec("nlls-phase1-iterations", OPT_INT,
+                       "Pallas-kernel tier: iteration cap of the first "
+                       "(full-volume) pass before straggler lanes are "
+                       "compacted and resumed (0 disables compaction)",
+                       default="32"),
             OptionSpec("fwd-initial-posterior", OPT_STR,
                        "MVN matrix file with initial parameter estimates"),
         ]
@@ -168,6 +173,8 @@ class NLLSInference:
         self.marquardt = options.get_bool("lm")
         self.vb_init = options.get_bool("vb-init")
         self.max_its = options.get_int("nlls-max-iterations", 100, minval=1)
+        self.phase1_its = options.get_int("nlls-phase1-iterations", 32,
+                                          minval=0)
 
         lin_mode = options.get_string("linearization", "auto")
         self.linearizer = Linearizer(model, self.params, self.nt,
@@ -443,6 +450,7 @@ class NLLSInference:
         def run_local(p0_l, data_l):
             nv_l = p0_l.shape[-1]
             block, pad = pick_nlls_block(nv_l, p, tp)
+            nv_p = nv_l + pad
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv_l:
@@ -450,12 +458,37 @@ class NLLSInference:
                     return jnp.pad(x, width, mode="edge")
                 return x
 
-            fused = make_fused_nlls_loop(
-                self.model.time_signal, transforms, p, self.nt,
-                self.max_its, nv_l + pad, self.dtype, tmask_np,
-                marquardt=self.marquardt, block=block,
-                interpret=self.nlls_interpret, time_signal_jac=tsj)
-            outs = fused(pad_v(p0_l), pad_v(data_l))
+            def make(its, **kw):
+                return make_fused_nlls_loop(
+                    self.model.time_signal, transforms, p, self.nt,
+                    its, nv_p, self.dtype, tmask_np,
+                    marquardt=self.marquardt, block=block,
+                    interpret=self.nlls_interpret,
+                    time_signal_jac=tsj, **kw)
+
+            cap = self.phase1_its
+            p0_p, data_p = pad_v(p0_l), pad_v(data_l)
+            if cap == 0 or self.max_its <= cap:
+                outs = make(self.max_its)(p0_p, data_p)
+            else:
+                # Two-phase straggler compaction: a handful of
+                # degenerate lanes (flat cost valleys) per 2048-lane
+                # tile otherwise pin EVERY tile at the iteration cap
+                # (measured ~95% of the nllsinit pipeline). Phase 1
+                # caps the full-volume pass; lanes are then sorted by
+                # convergence state so the stragglers pack densely
+                # into the first tiles of a resumed phase 2 (exact
+                # lambda/cost/iteration continuation — outcome
+                # identical to the single-phase kernel). All-done
+                # tiles skip the phase-2 loop, paying only HBM reads.
+                params1, state1 = make(cap, posterior=False)(
+                    p0_p, data_p)
+                order = jnp.argsort(state1[2])
+                inv = jnp.argsort(order)
+                outs2 = make(self.max_its - cap, resume=True)(
+                    params1[:, order], data_p[:, order],
+                    state1[:, order])
+                outs = tuple(o[..., inv] for o in outs2)
             if pad:
                 outs = tuple(o[..., :nv_l] for o in outs)
             return outs

@@ -72,12 +72,26 @@ def pick_nlls_block(nvoxels, p, tp):
 def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                          nvoxels, dtype, tmask, marquardt=False,
                          block=1024, interpret=False,
-                         time_signal_jac=None):
+                         time_signal_jac=None, resume=False,
+                         posterior=True):
     """Build the whole-loop NLLS callable.
 
-    Returns fn(params0 [P,V], data [Tp,V])
-        -> (params [P,V], cost [V-ish rows], its, prec [P,P,V],
-            cov [P,P,V])
+    Default mode (resume=False, posterior=True):
+      fn(params0 [P,V], data [Tp,V])
+        -> (params [P,V], cost [V], its [V], prec [P,P,V], cov [P,P,V])
+
+    Two-phase compaction modes (inference/nlls.py): a handful of
+    degenerate lanes per tile (flat cost valleys) otherwise pin every
+    tile at the iteration cap, so the engine caps phase 1, sorts lanes
+    by convergence state, and resumes the stragglers densely packed:
+      phase 1 (posterior=False): fn -> (params, state [4,V]) where the
+        state rows are (lam, cost, done, its) — the exact LM carry;
+      phase 2 (resume=True): fn(params0, data, state_in) continues the
+        lambda ladder / cost / iteration count verbatim; `max_its` is
+        the REMAINING per-lane budget. Tiles whose lanes are all done
+        skip the loop entirely (the early-exit while sees min done=1),
+        paying only their HBM reads.
+
     tmask: numpy [nt] 0/1 timepoint weights (padded rows 0).
     """
     p = nparams
@@ -158,8 +172,18 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                 cv[(j, i)] = s
         return cv
 
-    def kernel(p0_ref, data_ref, w_ref, params_out, cost_out, its_out,
-               prec_out, cov_out):
+    def kernel(*refs):
+        if resume:
+            p0_ref, data_ref, w_ref, state_ref = refs[:4]
+            orefs = refs[4:]
+        else:
+            p0_ref, data_ref, w_ref = refs[:3]
+            state_ref = None
+            orefs = refs[3:]
+        if posterior:
+            params_out, cost_out, its_out, prec_out, cov_out = orefs
+        else:
+            params_out, state_out = orefs
         b = p0_ref.shape[-1]
         ones = jnp.ones((1, b), dtype)
 
@@ -210,7 +234,17 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
 
         anchor = 0.0 * p0_ref[0:1]
         params0 = [p0_ref[i:i + 1] for i in range(p)]
-        cost0 = cost_at(params0)
+        if resume:
+            # continue the exact LM carry; no cost re-evaluation
+            cost0 = state_ref[1:2]
+            lam0 = state_ref[0:1]
+            done0 = state_ref[2:3]
+            its0 = state_ref[3:4]
+        else:
+            cost0 = cost_at(params0)
+            lam0 = anchor + dtype(LAMBDA_INIT)
+            done0 = anchor
+            its0 = anchor
 
         def iteration(c):
             it, params, cost, lam, done, its = c
@@ -258,14 +292,23 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                     jnp.maximum(done, act * newdone),
                     its + act)
 
-        init = (jnp.int32(0), tuple(params0), cost0,
-                anchor + dtype(LAMBDA_INIT), anchor, anchor)
+        init = (jnp.int32(0), tuple(params0), cost0, lam0, done0, its0)
 
         def wcond(c):
             return (c[0] < jnp.int32(max_its)) & (jnp.min(c[4]) < 0.5)
 
         it, params, cost, lam, done, its = jax.lax.while_loop(
             wcond, iteration, init)
+
+        for i in range(p):
+            params_out[i:i + 1] = params[i]
+
+        if not posterior:
+            state_out[0:1] = lam
+            state_out[1:2] = cost
+            state_out[2:3] = done
+            state_out[3:4] = its
+            return
 
         # posterior precision J'J/mse with the diagonal floor
         jtj, _jtr, _rr = pass_a(list(params))
@@ -280,8 +323,6 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
         ch = chol_planes_jittered(lambda i, j: prec[(i, j)])
         cov = inv_from_chol(ch)
 
-        for i in range(p):
-            params_out[i:i + 1] = params[i]
         cost_out[:] = cost
         its_out[:] = its
         for i in range(p):
@@ -301,27 +342,44 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                             lambda i: (np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[vox_spec(p), vox_spec(tp), fixed_spec(tp, 1)],
-        out_specs=(vox_spec(p), vox_spec(1), vox_spec(1),
-                   vox_spec(p * p), vox_spec(p * p)),
-        out_shape=(
+    in_specs = [vox_spec(p), vox_spec(tp), fixed_spec(tp, 1)]
+    if resume:
+        in_specs.append(vox_spec(4))
+    if posterior:
+        out_specs = (vox_spec(p), vox_spec(1), vox_spec(1),
+                     vox_spec(p * p), vox_spec(p * p))
+        out_shape = (
             jax.ShapeDtypeStruct((p, nvoxels), dtype),
             jax.ShapeDtypeStruct((1, nvoxels), dtype),
             jax.ShapeDtypeStruct((1, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
             jax.ShapeDtypeStruct((p * p, nvoxels), dtype),
-        ),
+        )
+    else:
+        out_specs = (vox_spec(p), vox_spec(4))
+        out_shape = (
+            jax.ShapeDtypeStruct((p, nvoxels), dtype),
+            jax.ShapeDtypeStruct((4, nvoxels), dtype),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )
 
     wcol = jnp.asarray(w_host, dtype)
 
-    def run(params0, data_padded):
-        params, cost, its, prec_f, cov_f = call(params0, data_padded,
-                                                wcol)
+    def run(params0, data_padded, state_in=None):
+        ins = (params0, data_padded, wcol)
+        if resume:
+            ins = ins + (state_in,)
+        if not posterior:
+            return call(*ins)
+        params, cost, its, prec_f, cov_f = call(*ins)
         return (params, cost[0], its[0],
                 prec_f.reshape(p, p, nvoxels),
                 cov_f.reshape(p, p, nvoxels))

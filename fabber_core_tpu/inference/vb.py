@@ -624,16 +624,18 @@ class VBInference:
         # reverts flagged lanes to the engine's initial posterior
         det_name = type(self.detector).name
         self.nl_fdet_kind = det_name \
-            if det_name in ("pointzeroone", "freduce") else None
+            if det_name in ("pointzeroone", "freduce", "trialmode",
+                            "lm") else None
         self.nl_fdet = self.nl_fdet_kind is not None
+        self.nl_tracks_best = det_name in ("trialmode", "lm")
         if nl_eligible:
             from ..ops.fused_loop_nl import pick_nl_block
             from ..ops.fused_vb import pad_time
             nl_eligible = (
                 kernel_mode in ("auto", "pallas-loop")
                 and options.get_string("continue-from-mvn", "") == ""
-                and det_name in ("maxits", "pointzeroone", "freduce")
-                and not self.is_lm
+                and det_name in ("maxits", "pointzeroone", "freduce",
+                                 "trialmode", "lm")
                 and int(self.detector.max_iterations) >= 1
                 and not self.save_fhist
                 and not self.prior_setup.has_ard
@@ -646,7 +648,8 @@ class VBInference:
                                   getattr(self._generic_eval_fn,
                                           "time_planes", None),
                                   getattr(self._generic_eval_fn,
-                                          "nsupp", 0))
+                                          "nsupp", 0),
+                                  tracks_best=self.nl_tracks_best)
                 is not None)
         if kernel_mode == "pallas-loop":
             self.use_nl_loop = nl_eligible
@@ -1161,7 +1164,8 @@ class VBInference:
             block, pad = pick_nl_block(nv, p, tp, nq, self.nl_fdet,
                                        generic_fn is not None,
                                        getattr(generic_fn, "time_planes",
-                                               None), nsupp)
+                                               None), nsupp,
+                                       tracks_best=self.nl_tracks_best)
 
             def pad_v(x):
                 if pad and x.shape[-1] == nv:
@@ -1306,13 +1310,20 @@ class VBInference:
             f_const += c_terms(q, c_post)
             # the freduce revert value: ELBO of the INITIAL noise state
             f_const_init += c_terms(q, c_init)
+        conv1 = self.detector.init_state(1, self.dtype)
         return {"tol": float(getattr(self.detector, "min_fchange",
                                      getattr(self.detector,
                                              "max_fchange", 0.01))),
                 "max_its": int(max_its),
                 "kind": self.nl_fdet_kind or "pointzeroone",
                 "lb_coeff": lb_coeff, "f_const": f_const,
-                "f_const_init": f_const_init}
+                "f_const_init": f_const_init,
+                # trialmode/lm (tracks_best): the detector instance
+                # drives the in-kernel f32-mask state machine
+                # (ops/fused_whole.py _mask_detector_step) and the
+                # engine-init save flag seeds the protocol
+                "det_obj": self.detector,
+                "init_save": bool(np.asarray(conv1.save)[0])}
 
     def _compiled_loop_kernel_ar(self):
         """AR(1) whole-loop Pallas route (ops/fused_loop_ar.py):

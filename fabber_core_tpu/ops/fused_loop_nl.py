@@ -92,12 +92,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_vb import TB, _tri, pad_time, make_block_eval, make_full_eval
 from .fused_loop import VMEM_BUDGET
+from .fused_whole import _mask_detector_step
 
 DEFAULT_BLOCK = 1024
 
 
 def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
-                   eval_planes=None, nsupp=0):
+                   eval_planes=None, nsupp=0, tracks_best=False):
     """Per-voxel live f32 rows for the whole-loop kernel (VMEM gate).
 
     Counts the double-buffered data input, the double-buffered small
@@ -129,11 +130,17 @@ def n_nl_loop_rows(p, tp, nq, fdet=False, full_eval=False,
         time_partials = TB * nq * (ntri + p + 1)
     return (data_in + small_io + carry + eval_live + time_partials
             + 2 * p  # pd0 input (double-buffered)
-            + (14 if fdet else 0))
+            + (14 if fdet else 0)
+            # trialmode/lm: best-state copies of the save/revert
+            # protocol (means/noise/prec/cov/logdet/F) + the extra
+            # conv lanes (save/trials/trialmode/lm_on/alpha) + the
+            # damped-solve Cholesky temporaries
+            + ((p + 2 * nq + 3 * (p * (p + 1) // 2) + 7)
+               if tracks_best else 0))
 
 
 def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
-                  eval_planes=None, nsupp=0):
+                  eval_planes=None, nsupp=0, tracks_best=False):
     """Largest voxel tile whose estimated footprint fits VMEM_BUDGET;
     (block, pad) or None when even the smallest tile doesn't fit
     (caller falls back to the XLA route).
@@ -144,7 +151,8 @@ def pick_nl_block(nvoxels, p, tp, nq, fdet=False, full_eval=False,
     1-vreg planes, ~8k grid steps, 1/8 lane utilization per op —
     costing ~2x end-to-end, while edge padding is O(block) wasted
     voxels out of millions."""
-    rows = n_nl_loop_rows(p, tp, nq, fdet, full_eval, eval_planes, nsupp)
+    rows = n_nl_loop_rows(p, tp, nq, fdet, full_eval, eval_planes, nsupp,
+                          tracks_best)
     for bb in (2048, 1024, 512, 256, 128):
         if rows * bb * 4 <= VMEM_BUDGET:
             return bb, (-nvoxels) % bb
@@ -270,6 +278,18 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
         return cv
 
     kind = (detector or {}).get("kind", "pointzeroone")
+    # trialmode / lm: the engine's save/revert protocol on VMEM-
+    # resident best-state copies + (lm) the per-lane damped theta
+    # update. Semantics transcription: the XLA engine NEVER restores
+    # the best copy mid-loop — the revert flag only selects the output
+    # state post-loop (inference/vb.py _finalize, inference_vb.cc:
+    # 505-525) — so the deferred-test structure needs no state rewind:
+    # pass k runs iteration k-1's test, commits the conv lanes, saves
+    # the CURRENT carry (== iteration k-1's state) where flagged, then
+    # updates — exactly the XLA iteration order (save by the previous
+    # test's flag -> update with the pre-test alpha -> F -> test).
+    tracks_best = kind in ("trialmode", "lm")
+    with_lm = kind == "lm"
 
     def kernel(*refs):
         if with_supp:
@@ -338,6 +358,11 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 part3init = dtype(detector["f_const_init"]) * ones
                 for i in range(p):
                     part3init = part3init + 0.5 * jnp.log(pp[i])
+            if tracks_best:
+                # the f32-mask transcription of the batched lane state
+                # machine — the identical step the whole kernel runs
+                det_step = _mask_detector_step(detector["det_obj"],
+                                               dtype)
 
             def assemble_f(cen, bqv, cqv, covdiag, logdet, kqk, trace,
                            base=None):
@@ -356,7 +381,13 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 return v
 
         def iteration(it_k, carry):
-            if detector is not None:
+            if detector is not None and tracks_best:
+                (centre, bq, cq, prev_prec, prev_cov,
+                 f_st, pf, dn, its, logdet, rev,
+                 sv, trials, tm, lmon, alpha,
+                 b_cen, b_bq, b_cq, b_prec, b_cov,
+                 b_logdet, b_f) = carry
+            elif detector is not None:
                 (centre, bq, cq, prev_prec, prev_cov,
                  f_st, pf, dn, its, logdet, rev, rev_f) = carry
             else:
@@ -441,32 +472,69 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 gate = jnp.where(it_k >= jnp.int32(1), dtype(1.0),
                                  dtype(0.0))
                 run = gate * (1.0 - dn)
-                fsmall = jnp.where(jnp.abs(f_here - pf) < d_tol,
-                                   dtype(1.0), dtype(0.0))
-                if kind == "freduce":
-                    # FreduceDetector.test: F decrease stops the lane
-                    # (no its increment, prev_f kept) and reverts it
-                    reduced = jnp.where(f_here - pf < 0, dtype(1.0),
-                                        dtype(0.0))
+                if tracks_best:
+                    # deferred test of iteration it_k-1, frozen by the
+                    # pre-test done mask (the XLA engine's lane merge)
+                    cv = (its, pf, sv, rev, dn, trials, tm, lmon,
+                          alpha)
+                    cv_n = det_step(cv, f_here)
+                    (its, pf, sv, rev, dn, trials, tm, lmon,
+                     alpha) = tuple(run * n + (1.0 - run) * o
+                                    for n, o in zip(cv_n, cv))
+                    f_st = (1.0 - run) * f_st + run * f_here
+                    # best-save of the carry (== iteration it_k-1's
+                    # state) where the post-test save flag is set —
+                    # the top-of-loop save of vb.py _iteration. The
+                    # skipped iteration-0 save of the engine-initial
+                    # posterior is unobservable: the first test always
+                    # continues (F0 - sentinel is +huge), overwriting
+                    # best before any revert can fire.
+                    bsv = run * sv
+
+                    def bs(new, old):
+                        return bsv * new + (1.0 - bsv) * old
+
+                    b_cen = tuple(bs(centre[i], b_cen[i])
+                                  for i in range(p))
+                    b_bq = tuple(bs(bq[q], b_bq[q]) for q in range(nq))
+                    b_cq = tuple(bs(cq[q], b_cq[q]) for q in range(nq))
+                    b_prec = tuple(bs(prev_prec[k2], b_prec[k2])
+                                   for k2 in range(ntri))
+                    b_cov = tuple(bs(prev_cov[k2], b_cov[k2])
+                                  for k2 in range(ntri))
+                    b_logdet = bs(logdet, b_logdet)
+                    b_f = bs(f_here, b_f)
+                    act = 1.0 - dn
                 else:
-                    reduced = dtype(0.0) * ones
-                keep = (1.0 - fsmall) * (1.0 - reduced)
-                # FchangeDetector.test: its not incremented on the
-                # converging test; done on fsmall or max-iterations
-                its = its + run * keep
-                over = jnp.where(its >= d_max, dtype(1.0), dtype(0.0))
-                dn = jnp.maximum(dn, run * jnp.maximum(
-                    jnp.maximum(fsmall, over), reduced))
-                rev = jnp.maximum(rev, run * reduced)
-                # convex-select commits: the incremental form
-                # x + c*(y - x) catastrophically cancels against the
-                # -3.4e38 prev_f sentinel (y - x rounds to -sentinel,
-                # so x + c*(y-x) lands on exactly 0.0)
-                committed = (1.0 - reduced) * f_here + reduced * rev_f
-                f_st = (1.0 - run) * f_st + run * committed
-                cpf = run * (1.0 - reduced)
-                pf = (1.0 - cpf) * pf + cpf * f_here
-                act = 1.0 - dn  # newly frozen lanes skip this update
+                    fsmall = jnp.where(jnp.abs(f_here - pf) < d_tol,
+                                       dtype(1.0), dtype(0.0))
+                    if kind == "freduce":
+                        # FreduceDetector.test: F decrease stops the
+                        # lane (no its increment, prev_f kept) and
+                        # reverts it
+                        reduced = jnp.where(f_here - pf < 0, dtype(1.0),
+                                            dtype(0.0))
+                    else:
+                        reduced = dtype(0.0) * ones
+                    keep = (1.0 - fsmall) * (1.0 - reduced)
+                    # FchangeDetector.test: its not incremented on the
+                    # converging test; done on fsmall or max-iterations
+                    its = its + run * keep
+                    over = jnp.where(its >= d_max, dtype(1.0),
+                                     dtype(0.0))
+                    dn = jnp.maximum(dn, run * jnp.maximum(
+                        jnp.maximum(fsmall, over), reduced))
+                    rev = jnp.maximum(rev, run * reduced)
+                    # convex-select commits: the incremental form
+                    # x + c*(y - x) catastrophically cancels against
+                    # the -3.4e38 prev_f sentinel (y - x rounds to
+                    # -sentinel, so x + c*(y-x) lands on exactly 0.0)
+                    committed = ((1.0 - reduced) * f_here
+                                 + reduced * rev_f)
+                    f_st = (1.0 - run) * f_st + run * committed
+                    cpf = run * (1.0 - reduced)
+                    pf = (1.0 - cpf) * pf + cpf * f_here
+                    act = 1.0 - dn  # newly frozen lanes skip update
 
             # ---- solve (update_theta arithmetic, Eq 19/20) ------------
             prec = []
@@ -490,6 +558,37 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                 rhs.append(v + pp[a] * pm[a])
             means = [sum(cov[(i, j)] * rhs[j] for j in range(p))
                      for i in range(p)]
+
+            if detector is not None and with_lm:
+                # LM-damped update (noise/white.py update_theta's
+                # Appendix-C branch, transcription-exact): means =
+                # centre + (prec + alpha diag(prec))^-1 [sum_q phi_q
+                # J'Q_q(y - f(centre)) + pp pm - pp centre] — the
+                # linearizer's offset IS f(centre) (linearize.py), so
+                # the gradient term is exactly this pass's jtrq with no
+                # J'QJ centre contribution. prec/cov stay undamped;
+                # lanes with alpha == 0 keep the plain GN means.
+                dch = chol_planes_jittered(
+                    lambda i, j: at_tri(prec, i, j)
+                    + (alpha * at_tri(prec, i, i) if i == j
+                       else dtype(0.0)))
+                sol = [None] * p
+                fwd_d = [None] * p
+                for i in range(p):
+                    s_d = pp[i] * (pm[i] - centre[i])
+                    for qi in range(nq):
+                        s_d = s_d + phi[qi] * jtrq[qi * p + i]
+                    for k in range(i):
+                        s_d = s_d - dch[tri.index((i, k))] * fwd_d[k]
+                    fwd_d[i] = s_d / dch[tri.index((i, i))]
+                for i in range(p - 1, -1, -1):
+                    s_d = fwd_d[i]
+                    for k in range(i + 1, p):
+                        s_d = s_d - dch[tri.index((k, i))] * sol[k]
+                    sol[i] = s_d / dch[tri.index((i, i))]
+                use_lm = jnp.where(alpha > 0.0, dtype(1.0), dtype(0.0))
+                means = [use_lm * (centre[a] + sol[a])
+                         + (1.0 - use_lm) * means[a] for a in range(p)]
 
             # ---- k'Q_ik by exact expansion (k = r + J d, d = centre -
             # means): r'Q_ir + 2 d'(J'Q_ir) + d'(J'Q_iJ)d — pure [1,B]
@@ -533,6 +632,22 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             def bl(new, old):
                 return old + act * (new - old)
 
+            if tracks_best:
+                # conv lanes and best copies were already committed by
+                # the run/bsv masks above; only the posterior state
+                # planes blend by the post-test active mask
+                return (tuple(bl(means[i], centre[i]) for i in range(p)),
+                        tuple(bl(new_b[q], bq[q]) for q in range(nq)),
+                        tuple(bl(new_c[q], cq[q]) for q in range(nq)),
+                        tuple(bl(prec[k2], prev_prec[k2])
+                              for k2 in range(ntri)),
+                        tuple(bl(cov[ij], prev_cov[k2])
+                              for k2, ij in enumerate(tri)),
+                        f_st, pf, dn, its, bl(logdet_new, logdet),
+                        rev, sv, trials, tm, lmon, alpha,
+                        b_cen, b_bq, b_cq, b_prec, b_cov,
+                        b_logdet, b_f)
+
             return (tuple(bl(means[i], centre[i]) for i in range(p)),
                     tuple(bl(new_b[q], bq[q]) for q in range(nq)),
                     tuple(bl(new_c[q], cq[q]) for q in range(nq)),
@@ -557,8 +672,23 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             # same trap as ops/fused_whole.py)
             sent = float(jnp.finfo(jnp.float32).min)
             anchor = 0.0 * centre0_ref[0:1]
-            init = init + (anchor, anchor + dtype(sent),
-                           anchor, anchor, anchor, anchor, anchor)
+            if tracks_best:
+                init = init + (
+                    anchor, anchor + dtype(sent),          # f_st, pf
+                    anchor, anchor, anchor, anchor,  # dn its logdet rev
+                    anchor + (dtype(1.0)
+                              if detector.get("init_save", True)
+                              else dtype(0.0)),            # save
+                    anchor, anchor, anchor, anchor,  # trials tm lmon a
+                    tuple(anchor for _ in range(p)),       # best means
+                    tuple(anchor for _ in range(nq)),      # best b
+                    tuple(anchor for _ in range(nq)),      # best c
+                    tuple(anchor for _ in range(ntri)),    # best prec
+                    tuple(anchor for _ in range(ntri)),    # best cov
+                    anchor, anchor)                        # b_logdet b_f
+            else:
+                init = init + (anchor, anchor + dtype(sent),
+                               anchor, anchor, anchor, anchor, anchor)
 
             # EARLY-EXIT while: a tile stops at its slowest lane once
             # every lane's done mask is set (carry slot 7, the dn
@@ -576,8 +706,14 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
 
             out = jax.lax.while_loop(wcond, wbody,
                                      (jnp.int32(0),) + init)
-            (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
-             logdet, rev, rev_f) = out[1:]
+            if tracks_best:
+                (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
+                 logdet, rev, sv, trials, tm, lmon, alpha,
+                 b_cen, b_bq, b_cq, b_prec, b_cov,
+                 b_logdet, b_f) = out[1:]
+            else:
+                (means, bq, cq, prec, cov_t, f_st, pf, dn, its,
+                 logdet, rev, rev_f) = out[1:]
         else:
             means, bq, cq, prec, cov_t = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(n_iters), iteration, init)
@@ -586,15 +722,19 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
             cov[(i, j)] = cov_t[k]
             cov[(j, i)] = cov_t[k]
 
-        for i in range(p):
-            means_out[i:i + 1] = means[i]
-        for i in range(p):
-            for j in range(p):
-                prec_out[i * p + j:i * p + j + 1] = at_tri(prec, i, j)
-                cov_out[i * p + j:i * p + j + 1] = cov[(i, j)]
-        for q in range(nq):
-            b_out[q:q + 1] = bq[q]
-            c_out[q:q + 1] = cq[q]
+        if not (detector is not None and tracks_best):
+            # tracks_best defers the writes: the post-loop save/revert
+            # selection below may replace the output state wholesale
+            for i in range(p):
+                means_out[i:i + 1] = means[i]
+            for i in range(p):
+                for j in range(p):
+                    prec_out[i * p + j:i * p + j + 1] = \
+                        at_tri(prec, i, j)
+                    cov_out[i * p + j:i * p + j + 1] = cov[(i, j)]
+            for q in range(nq):
+                b_out[q:q + 1] = bq[q]
+                c_out[q:q + 1] = cq[q]
 
         # ---- free-energy quadratics at the FINAL means ---------------
         if need_f or detector is not None:
@@ -639,6 +779,62 @@ def make_fused_nl_loop(time_signal, transforms, nparams, nt, n_iters,
                                     [cov[(i, i)] for i in range(p)],
                                     logdet, kqk2, trace2)
                 run = 1.0 - dn
+                if tracks_best:
+                    cv = (its, pf, sv, rev, dn, trials, tm, lmon,
+                          alpha)
+                    cv_n = det_step(cv, f_last)
+                    (its, pf, sv, rev, dn, trials, tm, lmon,
+                     alpha) = tuple(run * n + (1.0 - run) * o
+                                    for n, o in zip(cv_n, cv))
+                    f_st = (1.0 - run) * f_st + run * f_last
+
+                    # post-loop save, then revert (vb.py _finalize /
+                    # inference_vb.cc:505-525): best <- final state
+                    # where the save flag is set, output <- best where
+                    # the revert flag is set; the reported F of a
+                    # reverted lane is the ELBO captured when its best
+                    # state was saved (the engine's f_rev recompute at
+                    # the same state)
+                    def ps(mflag, new, old):
+                        return mflag * new + (1.0 - mflag) * old
+
+                    b_cen = tuple(ps(sv, means[i], b_cen[i])
+                                  for i in range(p))
+                    b_bq = tuple(ps(sv, bq[q], b_bq[q])
+                                 for q in range(nq))
+                    b_cq = tuple(ps(sv, cq[q], b_cq[q])
+                                 for q in range(nq))
+                    b_prec = tuple(ps(sv, prec[k2], b_prec[k2])
+                                   for k2 in range(ntri))
+                    b_cov = tuple(ps(sv, cov_t[k2], b_cov[k2])
+                                  for k2 in range(ntri))
+                    b_f = ps(sv, f_st, b_f)
+                    means = tuple(ps(rev, b_cen[i], means[i])
+                                  for i in range(p))
+                    bq = tuple(ps(rev, b_bq[q], bq[q])
+                               for q in range(nq))
+                    cq = tuple(ps(rev, b_cq[q], cq[q])
+                               for q in range(nq))
+                    prec = tuple(ps(rev, b_prec[k2], prec[k2])
+                                 for k2 in range(ntri))
+                    cov_t = tuple(ps(rev, b_cov[k2], cov_t[k2])
+                                  for k2 in range(ntri))
+                    f_st = ps(rev, b_f, f_st)
+
+                    for i in range(p):
+                        means_out[i:i + 1] = means[i]
+                    for i in range(p):
+                        for j in range(p):
+                            k2 = tri.index((max(i, j), min(i, j)))
+                            prec_out[i * p + j:i * p + j + 1] = prec[k2]
+                            cov_out[i * p + j:i * p + j + 1] = \
+                                cov_t[k2]
+                    for q in range(nq):
+                        b_out[q:q + 1] = bq[q]
+                        c_out[q:q + 1] = cq[q]
+                    fkqk_out[:] = f_st
+                    ftr_out[:] = its
+                    return
                 fsmall = jnp.where(jnp.abs(f_last - pf) < d_tol,
                                    dtype(1.0), dtype(0.0))
                 if kind == "freduce":

@@ -232,15 +232,16 @@ def test_nl_loop_image_prior():
 
 
 def test_nl_loop_gating():
-    """Ineligible configurations fall back to slower routes."""
-    # non-maxits detector -> save/revert protocol
+    """Ineligible configurations fall back to slower routes; the full
+    detector family (incl. trialmode/lm save/revert) is served."""
+    # trialmode/lm run IN-KERNEL since round 5 (tracks_best mode:
+    # best-state copies + the damped update on VMEM state)
     eng = make_engine(64, "pallas-loop", {"convergence": "trialmode",
                                           "max-iterations": "15"})
-    assert not eng.use_nl_loop
-    # LM damping mutates the update rule per lane
+    assert eng.use_nl_loop and eng.nl_fdet_kind == "trialmode"
     eng = make_engine(64, "pallas-loop", {"convergence": "lm",
                                           "max-iterations": "15"})
-    assert not eng.use_nl_loop
+    assert eng.use_nl_loop and eng.nl_fdet_kind == "lm"
     # F history needs per-iteration values
     eng = make_engine(64, "pallas-loop",
                       {"save-free-energy-history": True})
@@ -456,3 +457,77 @@ def test_nl_loop_freduce_clean_data():
         np.testing.assert_allclose(rx.free_energy[keep],
                                    rp.free_energy[keep],
                                    rtol=1e-4, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# trialmode / lm IN-KERNEL (tracks_best): the engine's save/revert
+# protocol on VMEM-resident best-state copies + (lm) the per-lane
+# damped theta update — the state machines are the very
+# _mask_detector_step transcription the whole kernel runs
+# ---------------------------------------------------------------------------
+
+def _det_engines(mode, det, nv=128, seed=0):
+    """High-noise fast-decay scenario (as _freduce_engines): the
+    nonlinear re-centring makes F drop on some lanes, exercising
+    trialmode's trial episodes and lm's damping ladder."""
+    rng = np.random.default_rng(seed)
+    nt, dt = 12, 0.05
+    t = np.arange(nt) * dt
+    amp = rng.uniform(0.2, 3.0, nv)
+    data = (amp[:, None] * np.exp(-6.0 * t)[None, :]
+            + rng.normal(0, 0.8, (nv, nt))).astype(np.float32)
+    coords = np.stack([np.arange(nv), np.zeros(nv), np.zeros(nv)], 1)
+    opts = RunOptions({"model": "exp", "dt": str(dt), "noise": "white",
+                       "max-iterations": "15", "dtype": "single",
+                       "engine-kernel": mode, "save-free-energy": True,
+                       "convergence": det})
+    return VBInference(get_model_class("exp")(opts), opts, data, coords)
+
+
+@pytest.mark.parametrize("det", ["trialmode", "lm"])
+def test_nl_loop_tracks_best_matches_xla(det):
+    """In-kernel trialmode/lm vs the XLA route on a scenario with real
+    F drops. Unlike freduce, the revert target is the in-loop best
+    save, so posteriors AND F are comparable on every non-flip lane
+    (the kernel's b_f is the ELBO captured at save time — the same
+    state the XLA _finalize recomputes f_rev at)."""
+    rx = _det_engines("xla", det).run()
+    eng = _det_engines("pallas-loop", det)
+    assert eng.use_nl_loop and eng.nl_fdet_kind == det
+    assert det in eng.route_description()
+    rp = eng.run()
+
+    # near-threshold |dF| can flip detector decisions between the two
+    # independent F assemblies
+    flip = rx.iterations != rp.iterations
+    assert flip.sum() <= 3, flip.sum()
+    ok = ~flip
+    sd = np.sqrt(np.diagonal(rx.cov[ok], axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means[ok] - rp.means[ok])
+                  / np.maximum(sd, 1e-6)) < 5e-3
+    np.testing.assert_allclose(rx.noise_means[ok], rp.noise_means[ok],
+                               rtol=2e-3)
+    np.testing.assert_allclose(rx.free_energy[ok], rp.free_energy[ok],
+                               rtol=1e-4, atol=4e-3)
+    # heterogeneous stopping exercised
+    assert len(np.unique(rx.iterations)) > 1
+
+
+@pytest.mark.parametrize("det", ["trialmode", "lm"])
+def test_nl_loop_tracks_best_clean_data(det):
+    """Clean-data variant: most lanes converge normally — the
+    tracks_best tier must agree with XLA when the save/revert
+    machinery is mostly idle too (catches protocol over-firing)."""
+    extra = {"convergence": det, "max-iterations": "15"}
+    rx = make_engine(192, "xla", extra, seed=2).run()
+    eng = make_engine(192, "pallas-loop", extra, seed=2)
+    assert eng.use_nl_loop and eng.nl_fdet_kind == det
+    rp = eng.run()
+    flip = rx.iterations != rp.iterations
+    assert flip.sum() <= 2, flip.sum()
+    ok = ~flip
+    sd = np.sqrt(np.diagonal(rx.cov[ok], axis1=1, axis2=2))
+    assert np.max(np.abs(rx.means[ok] - rp.means[ok])
+                  / np.maximum(sd, 1e-6)) < 5e-3
+    np.testing.assert_allclose(rx.free_energy[ok], rp.free_energy[ok],
+                               rtol=1e-4, atol=2e-3)

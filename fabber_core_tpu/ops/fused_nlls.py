@@ -241,25 +241,19 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
             done0 = state_ref[2:3]
             its0 = state_ref[3:4]
         else:
-            cost0 = cost_at(params0)
+            # fused-iteration mode: ONE pass seeds J'J/J'r AND the
+            # initial cost (r'r from pass_a is bit-identical to
+            # cost_at: w in {0,1} so (w d) d == w (d d), and both
+            # accumulate [TB,B] partials in the same order)
+            jtj0, jtr0, rr0 = pass_a(params0)
+            cost0 = rr0
             lam0 = anchor + dtype(LAMBDA_INIT)
             done0 = anchor
             its0 = anchor
 
-        def iteration(c):
-            it, params, cost, lam, done, its = c
-            jtj, jtr, _rr = pass_a(list(params))
-            if marquardt:
-                damp = [at_tri(jtj, i, i) for i in range(p)]
-            else:
-                damp = [ones for _ in range(p)]
-            ch = chol_planes_jittered(
-                lambda i, j: at_tri(jtj, i, j)
-                + (lam * damp[i] if i == j else dtype(0.0)))
-            delta = solve_chol(ch, jtr)
-            trial = [params[i] + delta[i] for i in range(p)]
-            tcost = cost_at(trial)
-
+        def accept_logic(params, cost, lam, done, its, trial, tcost):
+            """Shared accept/reject, lambda ladder and convergence
+            tests — identical arithmetic in both iteration forms."""
             better = jnp.where((tcost < cost) & jnp.isfinite(tcost),
                                dtype(1.0), dtype(0.0))
             newp = [better * trial[i] + (1.0 - better) * params[i]
@@ -281,6 +275,31 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                     jnp.where(newl > dtype(LAMBDA_MAX), dtype(1.0),
                               dtype(0.0)),
                     jnp.maximum(converged, plateau)))
+            return better, newp, newc, newl, newdone
+
+        def solve_step(jtj, jtr, params, lam):
+            if marquardt:
+                damp = [at_tri(jtj, i, i) for i in range(p)]
+            else:
+                damp = [ones for _ in range(p)]
+            ch = chol_planes_jittered(
+                lambda i, j: at_tri(jtj, i, j)
+                + (lam * damp[i] if i == j else dtype(0.0)))
+            delta = solve_chol(ch, list(jtr))
+            return [params[i] + delta[i] for i in range(p)]
+
+        def iteration(c):
+            """Two-pass form (resume mode): stats at the current
+            params + a cost-only pass at the trial point. Phase 2's
+            all-done tiles skip the loop entirely, so re-deriving the
+            stats per live iteration is cheaper than carrying them
+            through the compacted state tensor."""
+            it, params, cost, lam, done, its = c
+            jtj, jtr, _rr = pass_a(list(params))
+            trial = solve_step(jtj, jtr, params, lam)
+            tcost = cost_at(trial)
+            better, newp, newc, newl, newdone = accept_logic(
+                params, cost, lam, done, its, trial, tcost)
             act = 1.0 - done  # lanes done BEFORE this step keep state
 
             def sel(n, o):
@@ -292,13 +311,50 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
                     jnp.maximum(done, act * newdone),
                     its + act)
 
-        init = (jnp.int32(0), tuple(params0), cost0, lam0, done0, its0)
+        def iteration_fused(c):
+            """One-pass form (fresh-start mode): J'J and J'r ride the
+            carry, so each step evaluates the model ONLY at the trial
+            point — the trial pass's r'r IS the trial cost, and on
+            acceptance its stats seed the next solve. Bit-identical
+            trajectory to the two-pass form (same values, reused)."""
+            it, params, cost, jtj, jtr, lam, done, its = c
+            trial = solve_step(jtj, jtr, params, lam)
+            tjtj, tjtr, trr = pass_a(trial)
+            better, newp, newc, newl, newdone = accept_logic(
+                params, cost, lam, done, its, trial, trr)
+            act = 1.0 - done
+
+            def sel(n, o):
+                return act * n + (1.0 - act) * o
+
+            selb = act * better
+
+            def selj(n, o):
+                return selb * n + (1.0 - selb) * o
+
+            return (it + 1,
+                    tuple(sel(newp[i], params[i]) for i in range(p)),
+                    sel(newc, cost),
+                    tuple(selj(tjtj[k], jtj[k]) for k in range(ntri)),
+                    tuple(selj(tjtr[a], jtr[a]) for a in range(p)),
+                    sel(newl, lam),
+                    jnp.maximum(done, act * newdone),
+                    its + act)
 
         def wcond(c):
-            return (c[0] < jnp.int32(max_its)) & (jnp.min(c[4]) < 0.5)
+            return (c[0] < jnp.int32(max_its)) & (jnp.min(c[-2]) < 0.5)
 
-        it, params, cost, lam, done, its = jax.lax.while_loop(
-            wcond, iteration, init)
+        if resume:
+            init = (jnp.int32(0), tuple(params0), cost0, lam0, done0,
+                    its0)
+            it, params, cost, lam, done, its = jax.lax.while_loop(
+                wcond, iteration, init)
+            jtj_fin = None
+        else:
+            init = (jnp.int32(0), tuple(params0), cost0,
+                    tuple(jtj0), tuple(jtr0), lam0, done0, its0)
+            (it, params, cost, jtj_fin, _jtr_fin, lam, done,
+             its) = jax.lax.while_loop(wcond, iteration_fused, init)
 
         for i in range(p):
             params_out[i:i + 1] = params[i]
@@ -310,8 +366,13 @@ def make_fused_nlls_loop(time_signal, transforms, nparams, nt, max_its,
             state_out[3:4] = its
             return
 
-        # posterior precision J'J/mse with the diagonal floor
-        jtj, _jtr, _rr = pass_a(list(params))
+        # posterior precision J'J/mse with the diagonal floor; the
+        # fused carry already holds J'J at the final accepted params
+        # (rejected trials never commit), saving the extra pass
+        if jtj_fin is not None:
+            jtj = list(jtj_fin)
+        else:
+            jtj, _jtr, _rr = pass_a(list(params))
         mse = cost / dtype(n_unmasked - p)
         prec = {}
         for i, j in tri:
